@@ -1,0 +1,202 @@
+"""Clip reader: chunk discovery, metadata gathering, frame payload access.
+
+Replaces the reference's per-read chunk fopen + xref walk
+(main.c:429-558 mlv_get_frame_headers, resource_manager.c:229-317) with a
+single pass that snapshots the metadata state at every VIDF/AUDF, backed by
+memory-mapped chunks. All frame payloads are then zero-copy slices, which is
+what lets the pipeline DMA packed bytes straight to the device.
+"""
+
+from __future__ import annotations
+
+import os
+import numpy as np
+
+from . import mlv
+from .index import get_index
+
+_META_TYPES = {
+    b"MLVI": ("mlvi", mlv.MLVI),
+    b"RTCI": ("rtci", mlv.RTCI),
+    b"IDNT": ("idnt", mlv.IDNT),
+    b"RAWI": ("rawi", mlv.RAWI),
+    b"EXPO": ("expo", mlv.EXPO),
+    b"LENS": ("lens", mlv.LENS),
+    b"WBAL": ("wbal", mlv.WBAL),
+    b"WAVI": ("wavi", mlv.WAVI),
+    b"DISO": ("diso", mlv.DISO),
+}
+
+
+def discover_chunks(mlv_path: str):
+    """Return [path.MLV, path.M00, path.M01, ...] for all existing spill chunks.
+
+    Mirrors load_chunks (index.c:368-423): sequential .M00..M99 probing that
+    stops at the first missing file.
+    """
+    paths = [mlv_path]
+    base = mlv_path[:-2]  # strip the last two chars of the extension
+    for seq in range(100):
+        candidate = f"{base}{seq:02d}"
+        if os.path.isfile(candidate):
+            paths.append(candidate)
+        else:
+            break
+    return paths
+
+
+def is_mlv_name(name: str) -> bool:
+    return name.upper().endswith(".MLV")
+
+
+class MLVClip:
+    """One MLV clip (main file + spill chunks), indexed and memory-mapped."""
+
+    def __init__(self, path: str, use_sidecar: bool = True):
+        self.path = path
+        self.chunk_paths = discover_chunks(path)
+        self.chunks = [np.memmap(p, np.uint8, "r") for p in self.chunk_paths]
+        self.xref = get_index(path, self.chunks, use_sidecar=use_sidecar)
+        self._scan_metadata()
+
+    # -- metadata -----------------------------------------------------------
+
+    def _scan_metadata(self):
+        """Walk the xref once, snapshotting metadata at each VIDF/AUDF."""
+        state = {name: mlv.new_block(dt, key) for key, (name, dt) in _META_TYPES.items()}
+        state["mlvi"] = mlv.new_block(mlv.MLVI, b"MLVI")
+        self._vidf = []  # (file_number, position, snapshot_dict)
+        self._audf = []
+        self._debg = []  # (file_number, position)
+        snap_dirty = True
+        snap = None
+        for entry in self.xref:
+            fno = int(entry["fileNumber"])
+            pos = int(entry["frameOffset"])
+            ftype = int(entry["frameType"])
+            buf = self.chunks[fno]
+            if ftype == mlv.FRAME_VIDF:
+                if snap_dirty:
+                    snap = dict(state)
+                    snap_dirty = False
+                self._vidf.append((fno, pos, snap))
+            elif ftype == mlv.FRAME_AUDF:
+                self._audf.append((fno, pos))
+            else:
+                btype = bytes(buf[pos : pos + 4])
+                if btype in _META_TYPES:
+                    name, dt = _META_TYPES[btype]
+                    state[name] = mlv.parse_block(buf, pos, dt)
+                    snap_dirty = True
+                elif btype == b"DEBG":
+                    self._debg.append((fno, pos))
+
+    @property
+    def frame_count(self) -> int:
+        return len(self._vidf)
+
+    @property
+    def audio_frame_count(self) -> int:
+        return len(self._audf)
+
+    @property
+    def main_header(self):
+        if self._vidf:
+            return self._vidf[0][2]["mlvi"]
+        return mlv.parse_block(self.chunks[0], 0, mlv.MLVI)
+
+    @property
+    def has_audio(self) -> bool:
+        # has_audio (wav.c:173-187): audioClass == 1 in the main header
+        return int(self.main_header["audioClass"]) == 1
+
+    @property
+    def guid(self) -> int:
+        return int(self.main_header["fileGuid"])
+
+    def frame_headers(self, i: int) -> mlv.FrameHeaders:
+        """Metadata snapshot for video frame ``i`` (by sequence, like readdir)."""
+        fno, pos, snap = self._vidf[i]
+        vidf = mlv.parse_block(self.chunks[fno], pos, mlv.VIDF)
+
+        # Return writable copies: snapshots are shared between frames and may
+        # be zero-copy views into read-only memmaps, while callers (deflicker,
+        # dual-ISO) mutate header fields before building the DNG.
+        def cp(rec):
+            return np.array(rec, rec.dtype).reshape(()).copy()[()]
+
+        return mlv.FrameHeaders(
+            file_number=fno,
+            position=pos,
+            vidf=cp(vidf),
+            mlvi=cp(snap["mlvi"]),
+            rtci=cp(snap["rtci"]),
+            idnt=cp(snap["idnt"]),
+            rawi=cp(snap["rawi"]),
+            expo=cp(snap["expo"]),
+            lens=cp(snap["lens"]),
+            wbal=cp(snap["wbal"]),
+        )
+
+    # -- payload access ------------------------------------------------------
+
+    def frame_payload(self, i: int) -> np.ndarray:
+        """Raw VIDF payload bytes for frame ``i`` (zero-copy memmap slice).
+
+        For uncompressed clips this is the packed Bayer bitstream; for
+        LJ92/LZMA clips it starts with the 4-byte uncompressed size followed by
+        the compressed stream (get_image_data, main.c:582-607).
+        """
+        fno, pos, _ = self._vidf[i]
+        buf = self.chunks[fno]
+        vidf = mlv.parse_block(buf, pos, mlv.VIDF)
+        start = pos + mlv.VIDF.itemsize + int(vidf["frameSpace"])
+        end = pos + int(vidf["blockSize"])
+        return buf[start:end]
+
+    def audio_payloads(self):
+        """Yield AUDF payload slices in xref order (wav.c:301-338)."""
+        for fno, pos in self._audf:
+            buf = self.chunks[fno]
+            audf = mlv.parse_block(buf, pos, mlv.AUDF)
+            start = pos + mlv.AUDF.itemsize + int(audf["frameSpace"])
+            end = pos + int(audf["blockSize"])
+            yield buf[start:end]
+
+    @property
+    def wavi(self):
+        if self._vidf:
+            return self._vidf[0][2]["wavi"]
+        for fno, pos in self._iter_blocks(b"WAVI"):
+            return mlv.parse_block(self.chunks[fno], pos, mlv.WAVI)
+        return mlv.new_block(mlv.WAVI, b"WAVI")
+
+    def _iter_blocks(self, wanted: bytes):
+        for entry in self.xref:
+            if int(entry["frameType"]) != mlv.FRAME_UNSPECIFIED:
+                continue
+            fno = int(entry["fileNumber"])
+            pos = int(entry["frameOffset"])
+            if bytes(self.chunks[fno][pos : pos + 4]) == wanted:
+                yield fno, pos
+
+    def debug_log(self) -> str:
+        """Concatenated DEBG text (mlv_read_debug_log, main.c:333-420)."""
+        parts = []
+        for fno, pos in self._debg:
+            hdr = mlv.parse_block(self.chunks[fno], pos, mlv.DEBG)
+            start = pos + mlv.DEBG.itemsize
+            length = int(hdr["length"])
+            data = bytes(self.chunks[fno][start : start + length])
+            parts.append(data.rstrip(b"\0").decode("ascii", "replace"))
+        return "".join(parts)
+
+    def close(self):
+        # memmaps are closed by GC; keep explicit hook for the resource manager
+        self.chunks = []
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()

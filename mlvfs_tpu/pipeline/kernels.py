@@ -1,0 +1,131 @@
+"""The per-batch device pipeline: composition of processing ops.
+
+Orchestration mirror of process_frame (main.c:908-1005), re-expressed as a
+pure function over a batch of decoded frames. Order of operations preserved:
+
+  decode → deflicker median → [pattern noise] → [dual-ISO] →
+  [focus px, bad px (non-dual-ISO)] → [chroma smooth] → [stripes]
+
+Stages are fused into a single jitted program per (shape, config) via the
+closures below; per-clip calibration (stripe gains from frame 0, bad-pixel
+maps per GUID) happens once in ``calibrate_clip``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import histogram as hist_ops
+from .config import ProcessingConfig
+
+
+@dataclasses.dataclass
+class ClipCalibration:
+    stripes_gains: np.ndarray = None  # (8,) fixed-point gains, FIXP_ONE = 65536
+    stripes_needed: bool = False
+    bad_pixel_list: np.ndarray = None  # (N, 2) x,y in sensor coords
+    focus_pixel_list: np.ndarray = None
+
+
+def calibrate_clip(first_batch, fh, cfg: ProcessingConfig, clip) -> ClipCalibration:
+    cal = ClipCalibration()
+    ri = fh.raw_info
+    if cfg.fix_stripes:
+        from ..ops import stripes as stripes_ops
+
+        frame0 = first_batch[0]
+        gains, needed = stripes_ops.compute_correction(
+            frame0, ri.black_level, ri.white_level, fh.xres
+        )
+        cal.stripes_gains = np.asarray(gains)
+        cal.stripes_needed = bool(needed)
+    if cfg.fix_focus_pixels:
+        from ..ops import pixels as pixel_ops
+
+        cal.focus_pixel_list = pixel_ops.load_focus_pixel_map(
+            int(fh.idnt["cameraModel"]), ri.width, ri.height, cfg.focus_pixel_dir
+        )
+    if cfg.fix_bad_pixels:
+        from ..ops import pixels as pixel_ops
+
+        cal.bad_pixel_list = pixel_ops.detect_bad_pixels(
+            np.asarray(first_batch[0]),
+            width=fh.xres,
+            height=fh.yres,
+            black=ri.black_level,
+            aggressive=(cfg.fix_bad_pixels == 2),
+            crop_x=(int(fh.vidf["panPosX"]) + 7) & ~7,
+            crop_y=int(fh.vidf["panPosY"]) & ~1,
+        )
+    return cal
+
+
+def run_pipeline(imgs, fh, cfg: ProcessingConfig, cal: ClipCalibration, info: dict):
+    """Apply the configured processing to a decoded batch (B, H, W) uint16."""
+    ri = fh.raw_info
+    black, white = ri.black_level, ri.white_level
+    bpp = ri.bits_per_pixel
+    crop_x = (int(fh.vidf["panPosX"]) + 7) & ~7
+    crop_y = int(fh.vidf["panPosY"]) & ~1
+
+    if cfg.deflicker:
+        # deflicker target median → BaselineExposure tag (main.c:895-906)
+        white_df = (1 << bpp) + 1
+        medians = jax.jit(jax.vmap(lambda im: hist_ops.deflicker_median(im, white_df)))(imgs)
+        medians = np.asarray(medians, np.float64)
+        corr = np.log2((cfg.deflicker - black) / np.maximum(medians - black, 1e-9))
+        info["exposure_bias"] = [(int(c * 10000), 10000) for c in corr]
+
+    if cfg.fix_pattern_noise:
+        from ..ops import patternnoise as pn_ops
+
+        imgs = pn_ops.fix_pattern_noise_batch(imgs, white)
+
+    is_dual = False
+    if cfg.dual_iso == 1:
+        from ..ops import dualiso as di_ops
+
+        imgs, ok = di_ops.hdr_preview_batch(imgs, fh, cal)
+        is_dual = bool(ok)
+        if is_dual:
+            info["black_level"] = black * 4
+            info["white_level"] = white * 4
+    elif cfg.dual_iso == 2:
+        from ..ops import dualiso as di_ops
+
+        imgs, ok = di_ops.cr2hdr20_batch(imgs, fh, cfg, cal)
+        is_dual = bool(ok)
+        if is_dual:
+            info["black_level"] = black * 4
+            info["white_level"] = white * 4
+
+    if not is_dual:
+        from ..ops import pixels as pixel_ops
+
+        if cal.focus_pixel_list is not None and len(cal.focus_pixel_list):
+            imgs = pixel_ops.fix_pixel_list_batch(
+                imgs, cal.focus_pixel_list, black, crop_x, crop_y, dual_iso=False
+            )
+        if cfg.fix_bad_pixels and cal.bad_pixel_list is not None and len(cal.bad_pixel_list):
+            imgs = pixel_ops.fix_pixel_list_batch(
+                imgs, cal.bad_pixel_list, black, crop_x, crop_y, dual_iso=False
+            )
+
+    if cfg.chroma_smooth and cfg.dual_iso != 2:
+        from ..ops import chroma_smooth as cs_ops
+
+        imgs = cs_ops.chroma_smooth_batch(imgs, cfg.chroma_smooth, black)
+
+    if cfg.fix_stripes and cal.stripes_needed:
+        from ..ops import stripes as stripes_ops
+
+        imgs = stripes_ops.apply_correction_batch(
+            imgs, jnp.asarray(cal.stripes_gains), info["black_level"], info["white_level"]
+        )
+
+    return imgs, info

@@ -1,0 +1,179 @@
+"""ctypes wrapper around the compiled reference oracle (see build.sh).
+
+Gives the test suite direct access to the reference C implementations of the
+deterministic pipeline stages, for bit-exact comparisons against the
+TPU-native implementations.
+"""
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_LIB_PATH = os.path.join(_DIR, "liboracle.so")
+_REF = os.environ.get("MLVFS_REFERENCE", "/root/reference/mlvfs")
+
+
+def available() -> bool:
+    if os.path.exists(_LIB_PATH):
+        return True
+    if not os.path.isdir(_REF):
+        return False
+    try:
+        subprocess.run(["sh", os.path.join(_DIR, "build.sh")], check=True, capture_output=True)
+        return True
+    except (subprocess.CalledProcessError, OSError):
+        return False
+
+
+_lib = None
+
+
+def lib():
+    global _lib
+    if _lib is None:
+        if not available():
+            raise RuntimeError("oracle not available")
+        _lib = ctypes.CDLL(_LIB_PATH)
+        _lib.oracle_sizeof_frame_headers.restype = ctypes.c_size_t
+        _lib.oracle_dng_header.restype = ctypes.c_size_t
+        _lib.oracle_unpack.restype = ctypes.c_size_t
+    return _lib
+
+
+def pack_frame_headers(fh) -> bytearray:
+    """Serialize a mlvfs_tpu FrameHeaders into the C struct layout."""
+    L = lib()
+    size = L.oracle_sizeof_frame_headers()
+    offs = (ctypes.c_int * 10)()
+    L.oracle_frame_headers_offsets(offs)
+    buf = bytearray(size)
+
+    def put(off, data):
+        buf[off : off + len(data)] = data
+
+    put(offs[0], np.uint32(fh.file_number).tobytes())
+    put(offs[1], np.uint64(fh.position).tobytes())
+    put(offs[2], fh.vidf.tobytes())
+    put(offs[3], fh.mlvi.tobytes())
+    put(offs[4], fh.rtci.tobytes())
+    put(offs[5], fh.idnt.tobytes())
+    put(offs[6], fh.rawi.tobytes())
+    put(offs[7], fh.expo.tobytes())
+    put(offs[8], fh.lens.tobytes())
+    put(offs[9], fh.wbal.tobytes())
+    return buf
+
+
+def _buf(b):
+    return (ctypes.c_char * len(b)).from_buffer(b)
+
+
+def dng_header(fh, fps: float = 0.0, basename: str = "") -> bytes:
+    b = pack_frame_headers(fh)
+    out = bytearray(65536)
+    n = lib().oracle_dng_header(
+        _buf(b), _buf(out), ctypes.c_size_t(65536), ctypes.c_double(fps), basename.encode()
+    )
+    return bytes(out[:n])
+
+
+def unpack(fh, packed_words: np.ndarray, num_pixels: int) -> np.ndarray:
+    b = pack_frame_headers(fh)
+    packed = np.ascontiguousarray(packed_words, "<u2")
+    out = np.zeros(num_pixels, "<u2")
+    lib().oracle_unpack(
+        _buf(b),
+        packed.ctypes.data_as(ctypes.c_void_p),
+        out.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_size_t(num_pixels * 2),
+    )
+    return out
+
+
+def chroma_smooth(fh, img: np.ndarray, method: int) -> np.ndarray:
+    b = pack_frame_headers(fh)
+    data = np.ascontiguousarray(img, "<u2").copy()
+    lib().oracle_chroma_smooth(_buf(b), data.ctypes.data_as(ctypes.c_void_p), method)
+    return data
+
+
+def fix_focus_pixels(fh, img: np.ndarray, dual_iso: int, cwd: str = None) -> np.ndarray:
+    """Note: the reference loads .fpm maps from the process CWD (cs.c:369)."""
+    b = pack_frame_headers(fh)
+    data = np.ascontiguousarray(img, "<u2").copy()
+    old = os.getcwd()
+    if cwd:
+        os.chdir(cwd)
+    try:
+        lib().oracle_fix_focus_pixels(_buf(b), data.ctypes.data_as(ctypes.c_void_p), dual_iso)
+    finally:
+        if cwd:
+            os.chdir(old)
+    return data
+
+
+def fix_bad_pixels(fh, img: np.ndarray, aggressive: int, dual_iso: int) -> np.ndarray:
+    b = pack_frame_headers(fh)
+    data = np.ascontiguousarray(img, "<u2").copy()
+    lib().oracle_fix_bad_pixels(
+        _buf(b), data.ctypes.data_as(ctypes.c_void_p), aggressive, dual_iso
+    )
+    return data
+
+
+def fix_pattern_noise(img: np.ndarray, white: int) -> np.ndarray:
+    data = np.ascontiguousarray(img, "<i2").copy()
+    h, w = data.shape
+    lib().oracle_fix_pattern_noise(data.ctypes.data_as(ctypes.c_void_p), w, h, white, 0)
+    return data
+
+
+def stripes(fh, img: np.ndarray, apply: bool = True):
+    b = pack_frame_headers(fh)
+    data = np.ascontiguousarray(img, "<u2").copy()
+    gains = (ctypes.c_int * 8)()
+    needed = lib().oracle_stripes(
+        _buf(b),
+        data.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_size_t(data.size),
+        gains,
+        1 if apply else 0,
+    )
+    return data, np.array(gains[:8]), bool(needed)
+
+
+def hdr_preview(fh, img: np.ndarray):
+    b = pack_frame_headers(fh)
+    data = np.ascontiguousarray(img, "<u2").copy()
+    ok = lib().oracle_hdr_preview(
+        _buf(b), data.ctypes.data_as(ctypes.c_void_p), ctypes.c_size_t(data.size * 2)
+    )
+    black = ctypes.c_int()
+    white = ctypes.c_int()
+    lib().oracle_get_levels(_buf(b), ctypes.byref(black), ctypes.byref(white))
+    return data, bool(ok), black.value, white.value
+
+
+def cr2hdr20(fh, img: np.ndarray, interp=0, fullres=1, alias_map=1, cs_method=0, bad_pix=0):
+    b = pack_frame_headers(fh)
+    data = np.ascontiguousarray(img, "<u2").copy()
+    ok = lib().oracle_cr2hdr20(
+        _buf(b), data.ctypes.data_as(ctypes.c_void_p), interp, fullres, alias_map, cs_method, bad_pix
+    )
+    black = ctypes.c_int()
+    white = ctypes.c_int()
+    lib().oracle_get_levels(_buf(b), ctypes.byref(black), ctypes.byref(white))
+    return data, bool(ok), black.value, white.value
+
+
+def deflicker(fh, target: int, img: np.ndarray):
+    b = pack_frame_headers(fh)
+    data = np.ascontiguousarray(img, "<u2")
+    bias = (ctypes.c_int32 * 2)()
+    lib().oracle_deflicker(
+        _buf(b), target, data.ctypes.data_as(ctypes.c_void_p), ctypes.c_size_t(data.size * 2), bias
+    )
+    return int(bias[0]), int(bias[1])

@@ -1,0 +1,164 @@
+/* Test-oracle shim: compiles the reference's processing modules (from
+ * /root/reference, not copied into this repo) into a shared library the test
+ * suite drives via ctypes, so deterministic paths can be checked bit-for-bit.
+ *
+ * The reference's LUT accessors live in main.c, which cannot build without
+ * libfuse; this shim provides equivalents with the documented semantics
+ * (main.c:128-196): truncated log2 fixed-point tables offset by black level.
+ */
+#include <stdio.h>
+#include <stdint.h>
+#include <stdlib.h>
+#include <string.h>
+#include <stddef.h>
+#include <math.h>
+#include "raw.h"
+#include "mlv.h"
+#include "mlvfs.h"
+#include "dng.h"
+#include "hdr.h"
+#include "cs.h"
+#include "stripes.h"
+#include "patternnoise.h"
+#include "histogram.h"
+
+double * get_raw2evf(int black)
+{
+    static int done = 0;
+    static double table[16384 + MAX_BLACK];
+    if (!done)
+    {
+        memset(table, 0, MAX_BLACK * sizeof(int));   /* same partial clear as the reference */
+        for (int i = 0; i < 16384; i++)
+            table[i + MAX_BLACK] = log2(i) * EV_RESOLUTION;
+        done = 1;
+    }
+    if (black > MAX_BLACK) return NULL;
+    return &table[MAX_BLACK - black];
+}
+
+int * get_raw2ev(int black)
+{
+    static int done = 0;
+    static int table[16384 + MAX_BLACK];
+    if (!done)
+    {
+        memset(table, 0, MAX_BLACK * sizeof(int));
+        for (int i = 0; i < 16384; i++)
+            table[i + MAX_BLACK] = (int)(log2(i) * EV_RESOLUTION);
+        done = 1;
+    }
+    if (black > MAX_BLACK) return NULL;
+    return &table[MAX_BLACK - black];
+}
+
+int * get_ev2raw()
+{
+    static int done = 0;
+    static int table[24 * EV_RESOLUTION];
+    int * ev2raw = table + 10 * EV_RESOLUTION;
+    if (!done)
+    {
+        for (int i = -10 * EV_RESOLUTION; i < 14 * EV_RESOLUTION; i++)
+            ev2raw[i] = (int)(pow(2, (float)i / EV_RESOLUTION));
+        done = 1;
+    }
+    return ev2raw;
+}
+
+/* ------- entry points with simple ABI for ctypes ------- */
+
+size_t oracle_sizeof_frame_headers(void) { return sizeof(struct frame_headers); }
+
+/* field offsets so Python can assemble the struct bytes safely */
+void oracle_frame_headers_offsets(int * out)
+{
+    out[0] = (int)offsetof(struct frame_headers, fileNumber);
+    out[1] = (int)offsetof(struct frame_headers, position);
+    out[2] = (int)offsetof(struct frame_headers, vidf_hdr);
+    out[3] = (int)offsetof(struct frame_headers, file_hdr);
+    out[4] = (int)offsetof(struct frame_headers, rtci_hdr);
+    out[5] = (int)offsetof(struct frame_headers, idnt_hdr);
+    out[6] = (int)offsetof(struct frame_headers, rawi_hdr);
+    out[7] = (int)offsetof(struct frame_headers, expo_hdr);
+    out[8] = (int)offsetof(struct frame_headers, lens_hdr);
+    out[9] = (int)offsetof(struct frame_headers, wbal_hdr);
+}
+
+size_t oracle_dng_header(void * fh, uint8_t * out, size_t max_size, double fps, char * basename)
+{
+    return dng_get_header_data((struct frame_headers *)fh, out, 0, max_size, fps, basename);
+}
+
+size_t oracle_unpack(void * fh, uint16_t * packed, uint8_t * out, size_t max_size)
+{
+    return dng_get_image_data((struct frame_headers *)fh, packed, out, 0, max_size);
+}
+
+void oracle_chroma_smooth(void * fh, uint16_t * data, int method)
+{
+    chroma_smooth((struct frame_headers *)fh, data, method);
+}
+
+void oracle_fix_focus_pixels(void * fh, uint16_t * data, int dual_iso)
+{
+    fix_focus_pixels((struct frame_headers *)fh, data, dual_iso);
+}
+
+void oracle_fix_bad_pixels(void * fh, uint16_t * data, int aggressive, int dual_iso)
+{
+    fix_bad_pixels((struct frame_headers *)fh, data, aggressive, dual_iso);
+}
+
+void oracle_fix_pattern_noise(int16_t * data, int w, int h, int white, int debug)
+{
+    fix_pattern_noise(data, w, h, white, debug);
+}
+
+/* stripes: compute on one frame, return 8 fixed-point gains + needed flag */
+int oracle_stripes(void * fh, uint16_t * data, size_t n_pixels, int * gains_out, int apply)
+{
+    struct stripes_correction corr;
+    memset(&corr, 0, sizeof(corr));
+    srand(1); /* deterministic dither stream for parity runs */
+    stripes_compute_correction((struct frame_headers *)fh, &corr, data, 0, n_pixels);
+    for (int i = 0; i < 8; i++) gains_out[i] = corr.coeffficients[i];
+    if (apply)
+        stripes_apply_correction((struct frame_headers *)fh, &corr, data, 0, n_pixels);
+    return corr.correction_needed;
+}
+
+int oracle_hdr_preview(void * fh, uint16_t * data, size_t max_size)
+{
+    return hdr_convert_data((struct frame_headers *)fh, data, 0, max_size);
+}
+
+int oracle_cr2hdr20(void * fh, uint16_t * data, int interp, int fullres, int alias_map,
+                    int cs_method, int bad_pix)
+{
+    return cr2hdr20_convert_data((struct frame_headers *)fh, data, interp, fullres,
+                                 alias_map, cs_method, bad_pix);
+}
+
+/* black/white levels after dual-iso conversion mutate the rawi header */
+void oracle_get_levels(void * fh, int * black, int * white)
+{
+    struct frame_headers * f = (struct frame_headers *)fh;
+    *black = f->rawi_hdr.raw_info.black_level;
+    *white = f->rawi_hdr.raw_info.white_level;
+}
+
+void oracle_deflicker(void * fh, int target, uint16_t * data, size_t size, int32_t * bias_out)
+{
+    /* replicate deflicker (main.c:895-906) on top of the reference histogram */
+    struct frame_headers * f = (struct frame_headers *)fh;
+    uint16_t black = f->rawi_hdr.raw_info.black_level;
+    uint16_t white = (1 << f->rawi_hdr.raw_info.bits_per_pixel) + 1;
+    struct histogram * hist = hist_create(white);
+    hist_add(hist, data + 1, (uint32_t)((size - 1) / 2), 1);
+    uint16_t median = hist_median(hist);
+    double correction = log2((double)(target - black) / (median - black));
+    bias_out[0] = (int32_t)(correction * 10000);
+    bias_out[1] = 10000;
+    hist_destroy(hist);
+}

@@ -1,0 +1,116 @@
+"""MLV container layer: block dtypes, synth, indexing, reader."""
+
+import numpy as np
+import pytest
+
+from mlvfs_tpu.format import mlv, synth
+from mlvfs_tpu.format.bits import pack_bits_np, unpack_bits_np
+from mlvfs_tpu.format.index import build_xref, load_idx, idx_path
+from mlvfs_tpu.format.reader import MLVClip, discover_chunks
+
+
+def test_struct_sizes():
+    # sizes must match the C packed structs exactly (mlv.h / raw.h)
+    assert mlv.MLVI.itemsize == 52
+    assert mlv.VIDF.itemsize == 32
+    assert mlv.AUDF.itemsize == 24
+    assert mlv.RAWI.itemsize == 180
+    assert mlv.RAW_INFO.itemsize == 160
+    assert mlv.WAVI.itemsize == 32
+    assert mlv.EXPO.itemsize == 40
+    assert mlv.LENS.itemsize == 96
+    assert mlv.RTCI.itemsize == 44
+    assert mlv.IDNT.itemsize == 84
+    assert mlv.XREF.itemsize == 24
+    assert mlv.XREF_ENTRY.itemsize == 12
+    assert mlv.WBAL.itemsize == 44
+
+
+@pytest.mark.parametrize("bpp", [8, 10, 12, 14, 16])
+def test_pack_unpack_roundtrip(bpp, rng):
+    n = 1000
+    vals = rng.integers(0, 1 << bpp, n).astype(np.uint16)
+    words = pack_bits_np(vals, bpp)
+    back = unpack_bits_np(words, bpp, n)
+    np.testing.assert_array_equal(vals, back)
+
+
+def test_synth_and_read(tmp_clip):
+    path, spec = tmp_clip
+    clip = MLVClip(path)
+    assert clip.frame_count == spec.frames
+    fh = clip.frame_headers(0)
+    assert fh.xres == spec.width and fh.yres == spec.height
+    assert fh.raw_info.bits_per_pixel == 14
+    assert fh.raw_info.black_level == spec.black
+    assert not clip.has_audio
+    assert bytes(fh.idnt["cameraName"]).rstrip(b"\0").decode() == spec.camera_name
+
+
+def test_frame_payload_unpacks(tmp_clip, rng):
+    path, spec = tmp_clip
+    clip = MLVClip(path)
+    data = synth.make_frame_data(spec, np.random.default_rng(spec.seed))
+    payload = np.asarray(clip.frame_payload(0))
+    words = payload.view("<u2") if len(payload) % 2 == 0 else None
+    assert words is not None
+    pixels = unpack_bits_np(words, 14, spec.width * spec.height)
+    np.testing.assert_array_equal(pixels.reshape(spec.height, spec.width), data)
+
+
+def test_idx_sidecar_roundtrip(tmp_clip):
+    path, _ = tmp_clip
+    clip = MLVClip(path)  # builds + saves .IDX
+    table = load_idx(path)
+    assert table is not None
+    clip2 = MLVClip(path)  # loads from sidecar
+    np.testing.assert_array_equal(np.asarray(clip.xref), np.asarray(clip2.xref))
+    # timestamps sorted
+    assert (table["frameType"] == mlv.FRAME_VIDF).sum() == clip.frame_count
+
+
+def test_out_of_order_blocks(tmp_path):
+    path = str(tmp_path / "OOO.MLV")
+    spec = synth.write_mlv(path, frames=6, out_of_order=True)
+    clip = MLVClip(path)
+    assert clip.frame_count == 6
+    # frames must come back in temporal order regardless of file order
+    for i in range(6):
+        fh = clip.frame_headers(i)
+        assert int(fh.vidf["frameNumber"]) == i
+
+
+def test_multi_chunk(tmp_path):
+    path = str(tmp_path / "CHUNKS.MLV")
+    synth.write_mlv(path, frames=9, chunks=3)
+    assert len(discover_chunks(path)) == 3
+    clip = MLVClip(path)
+    assert clip.frame_count == 9
+    for i in range(9):
+        assert int(clip.frame_headers(i).vidf["frameNumber"]) == i
+
+
+def test_debug_log(tmp_path):
+    path = str(tmp_path / "LOG.MLV")
+    synth.write_mlv(path, frames=2, debug_log="hello camera debug log\n")
+    clip = MLVClip(path)
+    assert clip.debug_log() == "hello camera debug log\n"
+
+
+def test_audio_clip(tmp_path):
+    path = str(tmp_path / "AUD.MLV")
+    synth.write_mlv(path, frames=4, audio=True)
+    clip = MLVClip(path)
+    assert clip.has_audio
+    assert clip.audio_frame_count == 4
+    total = sum(len(p) for p in clip.audio_payloads())
+    assert total > 0
+
+
+def test_lzma_clip(tmp_path):
+    path = str(tmp_path / "LZ.MLV")
+    spec = synth.write_mlv(path, frames=2, compression="lzma")
+    clip = MLVClip(path)
+    fh = clip.frame_headers(0)
+    assert fh.compression == "lzma"
+    assert clip.frame_count == 2

@@ -1,0 +1,85 @@
+"""Bit-exact parity vs the compiled reference: DNG headers, unpack, deflicker."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mlvfs_tpu.format import synth
+from mlvfs_tpu.format.reader import MLVClip
+from mlvfs_tpu.format.bits import pack_bits_np
+from mlvfs_tpu.ops.unpack import unpack_words, bytes_to_words_np
+from mlvfs_tpu.ops.histogram import deflicker_median
+from mlvfs_tpu.emit.dng import build_dng_header
+
+from . import oracle
+
+pytestmark = pytest.mark.skipif(not oracle.available(), reason="reference oracle unavailable")
+
+
+def _clip(tmp_path, **kw):
+    path = str(tmp_path / "PARITY.MLV")
+    spec = synth.write_mlv(path, **kw)
+    return MLVClip(path), spec
+
+
+@pytest.mark.parametrize(
+    "kw",
+    [
+        dict(width=256, height=64),
+        dict(width=1920, height=1080, frames=1),
+        dict(width=256, height=64, camera_name="Canon EOS 7D", wb_mode=6),
+        dict(width=256, height=64, kelvin=3200),
+        dict(width=2240, height=718, frames=1),  # squeeze heuristic path (AR>2, h<=720)
+        dict(width=1808, height=726, frames=1, active_area=(10, 60, 726, 1808)),
+    ],
+)
+def test_dng_header_byte_exact(tmp_path, kw):
+    clip, spec = _clip(tmp_path, **kw)
+    fh = clip.frame_headers(0)
+    ref = oracle.dng_header(fh, 0.0, "PARITY")
+    ours = build_dng_header(fh, 0.0, "PARITY")
+    assert len(ref) == len(ours) == 65536
+    if ref != ours:
+        diff = [i for i in range(65536) if ref[i] != ours[i]]
+        raise AssertionError(f"header differs at {len(diff)} bytes, first at {diff[:16]}")
+
+
+def test_dng_header_fps_override(tmp_path):
+    clip, spec = _clip(tmp_path, width=256, height=64)
+    fh = clip.frame_headers(0)
+    assert oracle.dng_header(fh, 23.976, "X") == build_dng_header(fh, 23.976, "X")
+
+
+def test_dng_header_later_frame_timecode(tmp_path):
+    clip, spec = _clip(tmp_path, width=256, height=64, frames=4)
+    fh = clip.frame_headers(3)
+    assert oracle.dng_header(fh, 0.0, "X") == build_dng_header(fh, 0.0, "X")
+
+
+@pytest.mark.parametrize("bpp", [10, 12, 14])
+def test_unpack_parity(tmp_path, bpp, rng):
+    clip, spec = _clip(tmp_path, width=320, height=32, bpp=bpp)
+    fh = clip.frame_headers(0)
+    n = spec.width * spec.height
+    payload = np.asarray(clip.frame_payload(0))
+    words = bytes_to_words_np(payload)
+    ref = oracle.unpack(fh, words, n)
+    ours = np.asarray(jax.jit(unpack_words, static_argnums=(1, 2))(jnp.asarray(words), bpp, n))
+    np.testing.assert_array_equal(ref, ours)
+
+
+def test_deflicker_parity(tmp_path):
+    clip, spec = _clip(tmp_path, width=320, height=96)
+    fh = clip.frame_headers(0)
+    payload = np.asarray(clip.frame_payload(0))
+    words = bytes_to_words_np(payload)
+    img = oracle.unpack(fh, words, spec.width * spec.height).reshape(spec.height, spec.width)
+
+    target = 3000
+    ref_num, ref_den = oracle.deflicker(fh, target, img)
+    white = (1 << spec.bpp) + 1
+    med = int(jax.jit(deflicker_median, static_argnums=(1,))(jnp.asarray(img), white))
+    corr = np.log2((target - spec.black) / float(med - spec.black))
+    assert (int(corr * 10000), 10000) == (ref_num, ref_den)
