@@ -1,0 +1,127 @@
+"""Chroma smoothing (2x2 / 3x3 / 5x5) as a fused stencil over Bayer cells.
+
+Algorithm (reference template chroma_smooth.c, instantiated in cs.c:37-47 for
+uint16 and hdr.c:1488-1500 for the 20-bit path): for every 2x2 Bayer cell,
+compute the median of (R−G) and (B−G) in EV space over the surrounding cells
+(5/9/25 of them), and reapply those chroma offsets to the cell's mean green.
+
+TPU mapping: the per-cell neighborhood loop unrolls into K static strided
+slices of the frame (no gathers); the median is a sort over the K-axis; the
+conditional writes become masked strided updates. Everything fuses into one
+XLA program and vmaps over the batch.
+
+Bit-exactness: C int32 arithmetic truncates division toward zero and the
+raw→EV LUT maps pixel==black to INT_MIN (cast of -inf); both reproduced here.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .luts import EV_RESOLUTION, raw2ev_lut, ev2raw_lut
+
+# neighborhood cell offsets per method (chroma_smooth.c:1-16,41-48)
+def _offsets(method: int):
+    m = 4 if method == 5 else 2
+    offs = []
+    for i in range(-m, m + 1, 2):
+        for j in range(-m, m + 1, 2):
+            if method == 2 and abs(i) + abs(j) == 4:
+                continue
+            offs.append((i, j))
+    return offs
+
+
+def _div2_trunc(t):
+    """C-style (a)/2 for int32: truncation toward zero."""
+    return t // 2 + ((t & 1) != 0) * (t < 0)
+
+
+def chroma_smooth_image(
+    img: jnp.ndarray,
+    method: int,
+    raw2ev: jnp.ndarray,
+    ev2raw_pos: jnp.ndarray,
+    black: int,
+):
+    """One frame. ``raw2ev`` indexed by pixel value, ``ev2raw_pos`` by EV>=0."""
+    h, w = img.shape
+    offs = _offsets(method)
+    x0, y0 = 4, 4
+    # cell grid: x in [4, w-4) step 2, y in [4, h-5) step 2 (template:26-28)
+    nx = max(0, (w - 4 - x0 + 1) // 2)
+    ny = max(0, (h - 5 - y0 + 1) // 2)
+    if nx == 0 or ny == 0:
+        return img
+
+    src = img.astype(jnp.int32)
+
+    def cells(dy, dx):
+        # exclusive limit = last touched element + 1 (start + (n-1)*stride + 1)
+        return jax.lax.slice(
+            src,
+            (y0 + dy, x0 + dx),
+            (y0 + dy + (ny - 1) * 2 + 1, x0 + dx + (nx - 1) * 2 + 1),
+            (2, 2),
+        )
+
+    def ev(v):
+        return raw2ev[jnp.clip(v, 0, raw2ev.shape[0] - 1)]
+
+    g1c = ev(cells(0, 1))
+    g2c = ev(cells(1, 0))
+    ge = _div2_trunc(g1c + g2c)
+
+    med_r = []
+    med_b = []
+    for (i, j) in offs:
+        r = ev(cells(j, i))
+        g1 = ev(cells(j, i + 1))
+        g2 = ev(cells(j + 1, i))
+        b = ev(cells(j + 1, i + 1))
+        gen = _div2_trunc(g1 + g2)
+        med_r.append(r - gen)
+        med_b.append(b - gen)
+    k = len(offs)
+    dr = jnp.sort(jnp.stack(med_r), axis=0)[k // 2]
+    db = jnp.sort(jnp.stack(med_b), axis=0)[k // 2]
+
+    ok = ge >= 2 * EV_RESOLUTION  # template:35 — skip dark cells
+    ok &= ge + dr > EV_RESOLUTION  # template:64-65
+    ok &= ge + db > EV_RESOLUTION
+
+    def to_raw(e):
+        return ev2raw_pos[jnp.clip(e, 0, 14 * EV_RESOLUTION - 1)] + black
+
+    out_r = jnp.where(ok, to_raw(ge + dr), cells(0, 0)).astype(img.dtype)
+    out_b = jnp.where(ok, to_raw(ge + db), cells(1, 1)).astype(img.dtype)
+
+    out = img.at[y0 : y0 + ny * 2 : 2, x0 : x0 + nx * 2 : 2].set(out_r)
+    out = out.at[y0 + 1 : y0 + 1 + ny * 2 : 2, x0 + 1 : x0 + 1 + nx * 2 : 2].set(out_b)
+    return out
+
+
+@functools.lru_cache(maxsize=8)
+def _luts16(black: int):
+    lut = np.asarray(raw2ev_lut(black, size=1 << 16))
+    inv = np.asarray(ev2raw_lut())[10 * EV_RESOLUTION :]
+    return lut, inv
+
+
+# LUTs passed as runtime args (not closure constants) — baking half-megabyte
+# tables into the HLO slows compilation by an order of magnitude.
+@functools.partial(jax.jit, static_argnums=(1,))
+def _cs_jit(imgs, method, lut, inv, black):
+    return jax.vmap(lambda im: chroma_smooth_image(im, method, lut, inv, black))(imgs)
+
+
+def chroma_smooth_batch(imgs: jnp.ndarray, method: int, black: int) -> jnp.ndarray:
+    """Batch (B, H, W) uint16 chroma smoothing (chroma_smooth, cs.c:49-84)."""
+    if method not in (2, 3, 5):
+        raise ValueError(f"unsupported chroma smooth method {method}")
+    lut, inv = _luts16(black)
+    return _cs_jit(imgs, method, jnp.asarray(lut), jnp.asarray(inv), jnp.int32(black))

@@ -1,0 +1,153 @@
+"""Fixed-pattern (row/column) noise removal.
+
+Pipeline per direction (reference: fix_pattern_noise patternnoise.c:357-379):
+split the Bayer mosaic into 4 half-res channels, run a horizontal edge-aware
+median blur (window grows left/right until the green average jumps by more
+than a threshold, max ±25), call the difference "noise", mask strong edges
+and near-white pixels, subtract each column's median noise, remove the median
+of the offsets to avoid a cast; transpose and repeat for rows.
+
+TPU mapping of the data-dependent window: the window is a prefix-AND
+condition over at most 51 static neighbor offsets, so we materialize the
+(51, H/2, W/2) neighborhood (static shifts, no gathers), mask elements
+outside the adaptive window with a +inf sentinel, sort along the 51-axis and
+pick the k-th element with k derived from the per-pixel valid count — an
+exact, branch-free reformulation of the reference's variable-length medians
+(horizontal_edge_aware_blur_rggb patternnoise.c:88-180, fix_column_noise
+patternnoise.c:185-282). All integer arithmetic matches C semantics.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_STRENGTH = 25  # 50/2 (patternnoise.c:104, call site :332)
+_THR = 500
+_SENTINEL = 1 << 30  # above any reachable int16-domain value
+
+
+def _wirth_k(num):
+    """median_short/int_wirth index: n odd → n//2, even → n//2 - 1 (wirth.h)."""
+    return jnp.where((num & 1) == 1, num // 2, num // 2 - 1)
+
+
+def _masked_median(stack, valid, axis=0):
+    """k-th smallest of valid elements; invalid replaced by +sentinel."""
+    vals = jnp.where(valid, stack, _SENTINEL)
+    s = jnp.sort(vals, axis=axis)
+    num = valid.sum(axis=axis)
+    k = jnp.clip(_wirth_k(num), 0, stack.shape[axis] - 1)
+    return jnp.take_along_axis(s, k[None], axis=axis)[0], num
+
+
+def _shift_cols(a, d, fill):
+    """a shifted along axis -1 by d (elements from column x+d), edge-filled."""
+    h, w = a.shape
+    if d == 0:
+        return a
+    if d > 0:
+        return jnp.concatenate([a[:, d:], jnp.full((h, d), fill, a.dtype)], axis=1)
+    return jnp.concatenate([jnp.full((h, -d), fill, a.dtype), a[:, :d]], axis=1)
+
+
+def _edge_aware_blur(r, g1, g2, b):
+    """Adaptive-window row medians of g1, g2, r-g, b-g (+g back).
+
+    Returns smoothed (rs, g1s, g2s, bs). patternnoise.c:88-180.
+    """
+    h, w = g1.shape
+    avg = (g1.astype(jnp.int32) + g2.astype(jnp.int32)) // 2  # non-negative → trunc ok
+    rg = r.astype(jnp.int32) - avg
+    bg = b.astype(jnp.int32) - avg
+
+    # window elements x-25..x+24: the reference's left scan is inclusive of
+    # x-strength (xl >= x-strength, then xl--) while the right scan stops at
+    # x+strength-1 (xr < x+strength) — patternnoise.c:123-144
+    offs = list(range(-_STRENGTH, _STRENGTH))
+    # validity: prefix-AND of |avg[x+k]-avg[x]| <= thr moving away from x;
+    # out-of-row elements get a huge fill so the condition breaks at borders
+    diff_ok = []
+    for d in offs:
+        shifted = _shift_cols(avg, d, fill=10**9)
+        diff_ok.append(jnp.abs(shifted - avg) <= _THR)
+    diff_ok = jnp.stack(diff_ok)  # (50, h, w), center at index STRENGTH
+
+    c = _STRENGTH
+    valid = diff_ok.at[c].set(jnp.ones_like(diff_ok[c]))
+    # cumulative AND away from the center
+    right = jnp.cumprod(valid[c + 1 :].astype(jnp.int32), axis=0).astype(bool)
+    left = jnp.cumprod(valid[:c][::-1].astype(jnp.int32), axis=0).astype(bool)[::-1]
+    window = jnp.concatenate([left, jnp.ones((1, h, w), bool), right], axis=0)
+
+    def med(chan):
+        stack = jnp.stack([_shift_cols(chan, d, fill=_SENTINEL) for d in offs])
+        m, _ = _masked_median(stack, window)
+        return m
+
+    mg1 = med(g1.astype(jnp.int32))
+    mg2 = med(g2.astype(jnp.int32))
+    mg = (mg1 + mg2) // 2
+    mrg = med(rg)
+    mbg = med(bg)
+    return (mrg + mg), mg1, mg2, (mbg + mg)
+
+
+def _horizontal_gradient_flat(chan):
+    """out[i] = in[i-2] - in[i+2] on the flattened image (patternnoise.c:78-86)."""
+    flat = chan.reshape(-1).astype(jnp.int32)
+    n = flat.shape[0]
+    out = jnp.zeros(n, jnp.int32)
+    out = out.at[2 : n - 2].set(flat[: n - 4] - flat[4:])
+    return out.reshape(chan.shape)
+
+
+def _fix_column_noise(original, denoised, white):
+    """Column median offsets from the noise image (patternnoise.c:185-282)."""
+    noise = original - denoised
+    hgrad = jnp.abs(_horizontal_gradient_flat(original))
+    masked = (hgrad > 500) | (original >= white)
+
+    med, num = _masked_median(noise, ~masked, axis=0)  # per column
+    offsets = jnp.where(num < 10, 0, -med)
+
+    applied = jnp.clip(original + offsets[None, :], -32767, 32767)
+    # remove the median offset to prevent a global cast
+    w = offsets.shape[0]
+    mc = jnp.sort(offsets)[(w // 2) if (w % 2) else (w // 2 - 1)]
+    return jnp.clip(applied - mc, 0, 32760)
+
+
+def _fix_column_noise_rggb(raw, white):
+    """One direction over the full Bayer frame (patternnoise.c:312-355)."""
+    r = raw[0::2, 0::2]
+    g1 = raw[0::2, 1::2]
+    g2 = raw[1::2, 0::2]
+    b = raw[1::2, 1::2]
+    rs, g1s, g2s, bs = _edge_aware_blur(r, g1, g2, b)
+    r2 = _fix_column_noise(r.astype(jnp.int32), rs, white)
+    g1f = _fix_column_noise(g1.astype(jnp.int32), g1s, white)
+    g2f = _fix_column_noise(g2.astype(jnp.int32), g2s, white)
+    b2 = _fix_column_noise(b.astype(jnp.int32), bs, white)
+    out = jnp.empty_like(raw)
+    out = out.at[0::2, 0::2].set(r2.astype(raw.dtype))
+    out = out.at[0::2, 1::2].set(g1f.astype(raw.dtype))
+    out = out.at[1::2, 0::2].set(g2f.astype(raw.dtype))
+    out = out.at[1::2, 1::2].set(b2.astype(raw.dtype))
+    return out
+
+
+def fix_pattern_noise_image(img: jnp.ndarray, white: int) -> jnp.ndarray:
+    """Full pattern-noise fix on one frame (int16 semantics, uint16 storage)."""
+    raw = img.astype(jnp.int16).astype(jnp.int32)
+    raw = _fix_column_noise_rggb(raw, white)
+    raw = _fix_column_noise_rggb(raw.T, white).T
+    return raw.astype(jnp.uint16)
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def fix_pattern_noise_batch(imgs: jnp.ndarray, white: int) -> jnp.ndarray:
+    return jax.vmap(lambda im: fix_pattern_noise_image(im, white))(imgs)

@@ -160,12 +160,7 @@ def build_pixel_fixer(
     horizontal_edge = ((x >= width - 3) & (x < width)) | ((x >= 0) & (x <= 3))
     vertical_edge = ((y >= height - 3) & (y < height)) | ((y >= 0) & (y <= 3))
 
-    lut_np = np.asarray(raw2ev_lut(black, size=1 << 16))
-    inv_np = np.asarray(ev2raw_lut())
-
-    def fix(img: jnp.ndarray) -> jnp.ndarray:
-        lut = jnp.asarray(lut_np)
-        inv = jnp.asarray(inv_np)
+    def fix(img: jnp.ndarray, lut: jnp.ndarray, inv: jnp.ndarray) -> jnp.ndarray:
         f = img.reshape(-1).astype(jnp.int32)
 
         def at(offset):
@@ -215,12 +210,12 @@ def build_pixel_fixer(
             interior_val = four
 
         # edge handling (fix_focus_pixels, cs.c:479-500)
+        h_only = horizontal_edge & ~vertical_edge if not dual_iso else np.zeros_like(horizontal_edge)
+        v_only = vertical_edge & ~horizontal_edge
         edge_val = at(0)
-        edge_val = jnp.where(horizontal_edge & ~vertical_edge & ~dual_iso, vert, edge_val)
-        edge_val = jnp.where(vertical_edge & ~horizontal_edge, horiz, edge_val)
-        only_h = ~(horizontal_edge & ~vertical_edge & ~dual_iso) & ~(
-            vertical_edge & ~horizontal_edge
-        )
+        edge_val = jnp.where(h_only, vert, edge_val)
+        edge_val = jnp.where(v_only, horiz, edge_val)
+        only_h = ~h_only & ~v_only
         edge_val = jnp.where(only_h & (x >= 0) & (x <= 3), at(2), edge_val)
         edge_val = jnp.where(only_h & (x >= width - 3) & (x < width), at(-2), edge_val)
 
@@ -236,10 +231,25 @@ def build_pixel_fixer(
     return fix
 
 
+_fixer_cache = {}
+
+
 def fix_pixel_list_batch(imgs, pixel_list, black, crop_x, crop_y, dual_iso: bool):
-    """Apply a (focus or bad) pixel list to a batch (B, H, W) on device."""
+    """Apply a (focus or bad) pixel list to a batch (B, H, W) on device.
+
+    The compiled fixer is cached per (pixel list, geometry, config) so
+    repeated batches of the same clip reuse one executable.
+    """
     if pixel_list is None or len(pixel_list) == 0:
         return imgs
     b, h, w = imgs.shape
-    fixer = build_pixel_fixer(np.asarray(pixel_list), h, w, int(black), int(crop_x), int(crop_y), bool(dual_iso))
-    return jax.jit(jax.vmap(fixer))(imgs)
+    pl = np.ascontiguousarray(pixel_list, np.int64)
+    key = (pl.tobytes(), h, w, int(black), int(crop_x), int(crop_y), bool(dual_iso))
+    fn = _fixer_cache.get(key)
+    if fn is None:
+        fixer = build_pixel_fixer(pl, h, w, int(black), int(crop_x), int(crop_y), bool(dual_iso))
+        fn = jax.jit(jax.vmap(fixer, in_axes=(0, None, None)))
+        _fixer_cache[key] = fn
+    lut = jnp.asarray(np.asarray(raw2ev_lut(int(black), size=1 << 16)))
+    inv = jnp.asarray(np.asarray(ev2raw_lut()))
+    return fn(imgs, lut, inv)

@@ -138,15 +138,15 @@ class ClipConverter:
 
         from . import kernels
 
-        imgs, info = kernels.run_pipeline(imgs, fh, cfg, self._get_calibration(imgs), info)
+        imgs, info = kernels.run_pipeline(imgs, fh, cfg, self._get_calibration(), info)
         return imgs, info
 
-    def _get_calibration(self, first_batch):
-        """Per-clip one-time calibration (stripes gains, bad-pixel map)."""
+    def _get_calibration(self):
+        """Per-clip calibration state (focus map; lazy stripe/bad-pixel cal)."""
         if self._calibration is None:
             from . import kernels
 
-            self._calibration = kernels.calibrate_clip(first_batch, self.fh0, self.config, self.clip)
+            self._calibration = kernels.calibrate_clip(self.fh0, self.config)
         return self._calibration
 
     # ------------------------------------------------------------------ #

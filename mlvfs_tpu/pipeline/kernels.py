@@ -6,18 +6,17 @@ pure function over a batch of decoded frames. Order of operations preserved:
   decode → deflicker median → [pattern noise] → [dual-ISO] →
   [focus px, bad px (non-dual-ISO)] → [chroma smooth] → [stripes]
 
-Stages are fused into a single jitted program per (shape, config) via the
-closures below; per-clip calibration (stripe gains from frame 0, bad-pixel
-maps per GUID) happens once in ``calibrate_clip``.
+Per-clip calibration state mirrors the reference's caches and is computed at
+the same pipeline position on the first batch: bad-pixel detection runs on
+the frame as fix_bad_pixels sees it (cs.c:233-312), stripe gains on the fully
+processed first frame (main.c:980-996, stripes.c:97-99).
 """
 
 from __future__ import annotations
 
 import dataclasses
-import functools
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from ..ops import histogram as hist_ops
@@ -28,40 +27,24 @@ from .config import ProcessingConfig
 class ClipCalibration:
     stripes_gains: np.ndarray = None  # (8,) fixed-point gains, FIXP_ONE = 65536
     stripes_needed: bool = False
+    stripes_done: bool = False
     bad_pixel_list: np.ndarray = None  # (N, 2) x,y in sensor coords
+    bad_pixels_done: bool = False
     focus_pixel_list: np.ndarray = None
+    focus_done: bool = False
 
 
-def calibrate_clip(first_batch, fh, cfg: ProcessingConfig, clip) -> ClipCalibration:
+def calibrate_clip(fh, cfg: ProcessingConfig) -> ClipCalibration:
+    """Static (data-independent) calibration: focus pixel map lookup."""
     cal = ClipCalibration()
-    ri = fh.raw_info
-    if cfg.fix_stripes:
-        from ..ops import stripes as stripes_ops
-
-        frame0 = first_batch[0]
-        gains, needed = stripes_ops.compute_correction(
-            frame0, ri.black_level, ri.white_level, fh.xres
-        )
-        cal.stripes_gains = np.asarray(gains)
-        cal.stripes_needed = bool(needed)
     if cfg.fix_focus_pixels:
         from ..ops import pixels as pixel_ops
 
+        ri = fh.raw_info
         cal.focus_pixel_list = pixel_ops.load_focus_pixel_map(
             int(fh.idnt["cameraModel"]), ri.width, ri.height, cfg.focus_pixel_dir
         )
-    if cfg.fix_bad_pixels:
-        from ..ops import pixels as pixel_ops
-
-        cal.bad_pixel_list = pixel_ops.detect_bad_pixels(
-            np.asarray(first_batch[0]),
-            width=fh.xres,
-            height=fh.yres,
-            black=ri.black_level,
-            aggressive=(cfg.fix_bad_pixels == 2),
-            crop_x=(int(fh.vidf["panPosX"]) + 7) & ~7,
-            crop_y=int(fh.vidf["panPosY"]) & ~1,
-        )
+    cal.focus_done = True
     return cal
 
 
@@ -92,17 +75,14 @@ def run_pipeline(imgs, fh, cfg: ProcessingConfig, cal: ClipCalibration, info: di
 
         imgs, ok = di_ops.hdr_preview_batch(imgs, fh, cal)
         is_dual = bool(ok)
-        if is_dual:
-            info["black_level"] = black * 4
-            info["white_level"] = white * 4
     elif cfg.dual_iso == 2:
         from ..ops import dualiso as di_ops
 
         imgs, ok = di_ops.cr2hdr20_batch(imgs, fh, cfg, cal)
         is_dual = bool(ok)
-        if is_dual:
-            info["black_level"] = black * 4
-            info["white_level"] = white * 4
+    if is_dual:
+        info["black_level"] = black * 4
+        info["white_level"] = white * 4
 
     if not is_dual:
         from ..ops import pixels as pixel_ops
@@ -111,21 +91,49 @@ def run_pipeline(imgs, fh, cfg: ProcessingConfig, cal: ClipCalibration, info: di
             imgs = pixel_ops.fix_pixel_list_batch(
                 imgs, cal.focus_pixel_list, black, crop_x, crop_y, dual_iso=False
             )
-        if cfg.fix_bad_pixels and cal.bad_pixel_list is not None and len(cal.bad_pixel_list):
-            imgs = pixel_ops.fix_pixel_list_batch(
-                imgs, cal.bad_pixel_list, black, crop_x, crop_y, dual_iso=False
-            )
+        if cfg.fix_bad_pixels:
+            if not cal.bad_pixels_done:
+                # detect on the first frame as fix_bad_pixels sees it
+                cal.bad_pixel_list = pixel_ops.detect_bad_pixels(
+                    np.asarray(imgs[0]),
+                    width=fh.xres,
+                    height=fh.yres,
+                    black=black,
+                    aggressive=(cfg.fix_bad_pixels == 2),
+                    crop_x=crop_x,
+                    crop_y=crop_y,
+                )
+                cal.bad_pixels_done = True
+            if cal.bad_pixel_list is not None and len(cal.bad_pixel_list):
+                imgs = pixel_ops.fix_pixel_list_batch(
+                    imgs, cal.bad_pixel_list, black, crop_x, crop_y, dual_iso=False
+                )
 
     if cfg.chroma_smooth and cfg.dual_iso != 2:
         from ..ops import chroma_smooth as cs_ops
 
-        imgs = cs_ops.chroma_smooth_batch(imgs, cfg.chroma_smooth, black)
+        imgs = cs_ops.chroma_smooth_batch(imgs, cfg.chroma_smooth, info["black_level"])
 
-    if cfg.fix_stripes and cal.stripes_needed:
+    if cfg.fix_stripes:
         from ..ops import stripes as stripes_ops
 
-        imgs = stripes_ops.apply_correction_batch(
-            imgs, jnp.asarray(cal.stripes_gains), info["black_level"], info["white_level"]
-        )
+        if not cal.stripes_done:
+            # gains from the first processed frame only (stripes.c:97-99)
+            gains, needed = stripes_ops.compute_correction(
+                np.asarray(imgs[0]),
+                info["black_level"],
+                info["white_level"],
+                fh.xres,
+                frame_size_bytes=ri.frame_size,
+            )
+            cal.stripes_gains, cal.stripes_needed = gains, needed
+            cal.stripes_done = True
+        if cal.stripes_needed:
+            imgs = stripes_ops.apply_correction_batch(
+                imgs,
+                np.asarray(cal.stripes_gains),
+                info["black_level"],
+                info["white_level"],
+            )
 
     return imgs, info
