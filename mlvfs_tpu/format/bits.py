@@ -34,17 +34,34 @@ def unpack_bits_np(words: np.ndarray, bpp: int, num_pixels: int) -> np.ndarray:
 
 
 def pack_bits_np(values: np.ndarray, bpp: int) -> np.ndarray:
-    """Pack values (uint16, < 2**bpp) into the MSB-first u16 word stream."""
-    values = np.asarray(values, np.uint16).ravel()
+    """Pack values (uint16, < 2**bpp) into the MSB-first u16 word stream.
+
+    Vectorized over fixed-size blocks: lcm(16, bpp)/bpp pixels fill
+    lcm(16, bpp)/16 words, each pixel contributing to at most two word
+    columns with static shifts.
+    """
+    values = np.asarray(values, np.uint32).ravel()
     n = len(values)
-    shifts = np.arange(bpp - 1, -1, -1, dtype=np.uint16)
-    bits = ((values[:, None] >> shifts[None, :]) & 1).astype(np.uint8).ravel()
-    total_bits = n * bpp
-    n_words = (total_bits + 15) // 16
-    bits = np.concatenate([bits, np.zeros(n_words * 16 - total_bits, np.uint8)])
-    bit_matrix = bits.reshape(n_words, 16).astype(np.uint16)
-    weights = (np.uint16(1) << np.arange(15, -1, -1, dtype=np.uint16))
-    return (bit_matrix * weights[None, :]).sum(axis=1, dtype=np.uint16)
+    import math
+
+    lcm = math.lcm(16, bpp)
+    ppb, wpb = lcm // bpp, lcm // 16
+    num_blocks = (n + ppb - 1) // ppb
+    total_words = (n * bpp + 15) // 16
+    if n < num_blocks * ppb:
+        values = np.concatenate([values, np.zeros(num_blocks * ppb - n, np.uint32)])
+    p = values.reshape(num_blocks, ppb)
+    words = np.zeros((num_blocks, wpb), np.uint32)
+    for j in range(ppb):
+        off = j * bpp
+        a, sh = off >> 4, off & 15
+        if sh + bpp <= 16:
+            words[:, a] |= p[:, j] << (16 - bpp - sh)
+        else:
+            spill = sh + bpp - 16
+            words[:, a] |= p[:, j] >> spill
+            words[:, a + 1] |= (p[:, j] << (16 - spill)) & 0xFFFF
+    return words.reshape(-1)[:total_words].astype(np.uint16)
 
 
 def packed_size_bytes(num_pixels: int, bpp: int) -> int:

@@ -69,7 +69,10 @@ def make_frame_data(spec: SynthSpec, rng: np.random.Generator) -> np.ndarray:
         gains = np.array([[1.0, 0.6], [0.8, 1.0]])
     signal = signal * gains[y.astype(int) % 2, x.astype(int) % 2]
     span = spec.white - spec.black
-    data = spec.black + signal * span * 0.9
+    # dual-ISO clips: scale the scene down so the amplified (bright) rows
+    # mostly stay below white — the realistic exposure for interlaced ISO
+    scene_scale = 0.9 / (2.0 ** spec.dual_iso) if spec.dual_iso else 0.9
+    data = spec.black + signal * span * scene_scale
     data += rng.normal(0, 8, size=data.shape)
     if spec.dual_iso:
         bright = ((y.astype(int) - spec.dual_iso_phase) % 4) >= 2

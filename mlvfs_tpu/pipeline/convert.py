@@ -192,7 +192,10 @@ class ClipConverter:
     def _apply_info(self, fh, info, bi):
         """Apply per-batch header mutations before building the DNG header."""
         ri = fh.rawi["raw_info"]
-        if info.get("black_level") is not None:
+        levels = info.get("levels")
+        if levels is not None:
+            ri["black_level"], ri["white_level"] = levels[bi]
+        elif info.get("black_level") is not None:
             ri["black_level"] = info["black_level"]
             ri["white_level"] = info["white_level"]
         eb = info.get("exposure_bias")

@@ -74,13 +74,18 @@ def run_pipeline(imgs, fh, cfg: ProcessingConfig, cal: ClipCalibration, info: di
         from ..ops import dualiso as di_ops
 
         imgs, ok = di_ops.hdr_preview_batch(imgs, fh, cal)
-        is_dual = bool(ok)
+        is_dual = bool(np.asarray(ok).any())
     elif cfg.dual_iso == 2:
-        from ..ops import dualiso as di_ops
+        from ..ops import dualiso_full as dif_ops
 
-        imgs, ok = di_ops.cr2hdr20_batch(imgs, fh, cfg, cal)
-        is_dual = bool(ok)
+        imgs, ok = dif_ops.cr2hdr20_batch(imgs, fh, cfg, cal)
+        is_dual = bool(np.asarray(ok).any())
     if is_dual:
+        # per-frame levels: frames that failed detection keep 14-bit levels
+        okv = np.asarray(ok)
+        info["levels"] = [
+            ((black * 4, white * 4) if o else (black, white)) for o in okv
+        ]
         info["black_level"] = black * 4
         info["white_level"] = white * 4
 

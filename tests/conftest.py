@@ -1,40 +1,22 @@
 import os
-import sys
 
-# Run the test suite on a virtual 8-device CPU mesh: multi-chip sharding is
-# validated without TPU hardware, and CPU keeps compile times low.
-#
-# This container boots every interpreter with a sitecustomize that registers
-# a remote TPU PJRT plugin (JAX_PLATFORMS=axon); merely setting
-# JAX_PLATFORMS=cpu here is not enough — backend init still dials the remote
-# relay and stalls. So if we detect that environment (and jax has not been
-# imported yet), re-exec pytest once with a clean environment.
-if (
-    os.environ.get("JAX_PLATFORMS", "") not in ("", "cpu")
-    and os.environ.get("MLVFS_TPU_TEST_ON_TPU") != "1"
-    and os.environ.get("_MLVFS_TPU_REEXEC") != "1"
-    and "jax" not in sys.modules
-):
-    env = {
-        k: v
-        for k, v in os.environ.items()
-        # drop the remote-TPU plugin configuration entirely (sitecustomize via
-        # PYTHONPATH, remote-compile relay knobs) so CPU compiles stay local
-        if not (k.startswith(("AXON_", "PALLAS_AXON", "TPU_")) or k == "PYTHONPATH")
-    }
-    env["_MLVFS_TPU_REEXEC"] = "1"
-    env["JAX_PLATFORMS"] = "cpu"
-    env["XLA_FLAGS"] = (
-        env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
-    ).strip()
-    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    os.chdir(repo_root)
-    os.execve(sys.executable, [sys.executable, "-m", "pytest"] + sys.argv[1:], env)
-
+# Defaults for a direct (already clean) run; the re-exec into a clean CPU
+# environment lives in the root conftest.py (pytest_cmdline_main hook).
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+# persistent compile cache: XLA-CPU compiles of the bigger pipelines take
+# minutes on this box; cache them across pytest runs
+_cache_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache")
+jax.config.update("jax_enable_compilation_cache", True)
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
