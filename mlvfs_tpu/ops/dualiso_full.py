@@ -1,0 +1,498 @@
+"""Dual-ISO full-quality reconstruction (--dual-iso): the cr2hdr 20-bit port.
+
+Pipeline (cr2hdr20_convert_data → hdr_interpolate, hdr.c:1774-1957):
+
+  hdr_check → focus/bad pixel fix → RGGB/GBRG → bright/dark fields →
+  white detect → promote to 20 bit → exposure matching → interpolate the
+  missing exposure per row (mean23 here; AMaZE-edge in `amaze.py`) →
+  border interpolation → full-res reconstruction → half-res EV-space blend
+  (+ chroma smoothing + alias map) → final blend → dither-free 16-bit out.
+
+Split: per-frame scalar analysis runs on host (`dualiso_analysis`), the
+whole per-pixel reconstruction is ONE fused jitted device program, vmapped
+over the batch with traced per-frame scalars (gain, offsets, row phase
+masks) so one compilation serves every frame/clip of the same geometry.
+
+All EV-space arithmetic uses the reference's integer LUT semantics
+(luts.raw2ev_lut20 / ev2raw_lut20); float stages (exposure apply, blend
+curves) run in f32 — the parity gate for this path is PSNR, not bit
+equality (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .luts import (
+    EV_RESOLUTION,
+    raw2ev_lut20,
+    ev2raw_lut20,
+    fullres_curve,
+    raw2ev_lutf,
+)
+from .chroma_smooth import chroma_smooth_image
+from . import dualiso_analysis as analysis
+
+FULLRES_THR = 0.8
+ALIAS_MAP_MAX = 15000
+DARK_NOISE20 = 8.0 * 64  # compute_noise defaults to stdev 8 (14-bit) for MLV
+                         # frames (full-frame active area → empty OB region)
+
+
+# ------------------------------------------------------------------ helpers
+
+
+def _tdiv(a, b):
+    """C-style truncating integer division."""
+    q = jnp.abs(a) // b
+    return jnp.where(a < 0, -q, q)
+
+
+def _shift(arr, dy, dx, fill=0):
+    """out[y, x] = arr[y+dy, x+dx], constant-filled outside."""
+    h, w = arr.shape
+    py0, py1 = max(dy, 0), max(-dy, 0)
+    px0, px1 = max(dx, 0), max(-dx, 0)
+    padded = jnp.pad(arr, ((py1, py0), (px1, px0)), constant_values=fill)
+    return jax.lax.dynamic_slice(padded, (py1 + dy, px1 + dx), (h, w))
+
+
+def _row_shift(arr, s, mag):
+    """arr[y + s*mag, x] with per-row sign s (+1/-1)."""
+    up = _shift(arr, mag, 0)
+    down = _shift(arr, -mag, 0)
+    return jnp.where((s == 1)[:, None], up, down)
+
+
+# ------------------------------------------------------------------ checks
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def hdr_check_batch(imgs, lutf, black: int, white: int):
+    """Quick interlaced-exposure detector (hdr_check, hdr.c:407-439)."""
+    def one(img):
+        p = img.astype(jnp.int32)
+        p2 = _shift(p, 2, 0)
+        inner = jnp.zeros(img.shape, bool).at[2:-2, 2:-2].set(True)
+        valid = inner & ((p > black + 32) | (p2 > black + 32)) & (p < white) & (p2 < white)
+        ev = lutf[jnp.clip(p, 0, lutf.shape[0] - 1)]
+        ev2 = lutf[jnp.clip(p2, 0, lutf.shape[0] - 1)]
+        diff = jnp.where(valid, jnp.abs(ev2 - ev), 0.0)
+        num = valid.sum()
+        return jnp.where(num > 0, diff.sum() / num, 0.0) > 0.5
+
+    return jax.vmap(one)(imgs)
+
+
+# ------------------------------------------------------- the reconstruction
+
+
+def _mean23_interpolate(p, ev, ev2raw_at, row_bright, s, evw_row, h, w):
+    """mean23 (mean32_interpolate, hdr.c:1231-1304) → (dark, bright)."""
+    # vertical 2-tap for R/B sites, 3-tap for green sites, in EV space
+    e_up2 = _shift(ev, -2, 0)
+    e_dn2 = _shift(ev, 2, 0)
+    e_s_xp = _row_shift(_shift(ev, 0, 1), s, 1)
+    e_s_xm = _row_shift(_shift(ev, 0, -1), s, 1)
+    # y - 2s: shift by -2 when s=+1, +2 when s=-1
+    e_m2s = jnp.where((s == 1)[:, None], _shift(ev, -2, 0), _shift(ev, 2, 0))
+
+    evw = evw_row[:, None]
+
+    def mean2(a, b):
+        m = _tdiv(a + b, 2)
+        return jnp.where((a >= evw) | (b >= evw), evw, m)
+
+    def mean3(a, b, c):
+        m = _tdiv(a + b + c, 3)
+        return jnp.where((a >= evw) | (b >= evw) | (c >= evw), jnp.maximum(m, evw), m)
+
+    vert2 = mean2(e_up2, e_dn2)
+    green3 = mean3(e_s_xp, e_s_xm, e_m2s)
+
+    ys = jnp.arange(h)[:, None]
+    xs = jnp.arange(w)[None, :]
+    is_green = (xs % 2) != (ys % 2)
+    interp_ev = jnp.where(is_green, green3, vert2)
+    interp_main = ev2raw_at(interp_ev)
+
+    # main region: y in [2, h-3], x in [2, w-3] (hdr.c:1254,1261)
+    region = (ys >= 2) & (ys <= h - 3) & (xs >= 2) & (xs <= w - 3)
+
+    interp = jnp.where(region, interp_main, 0)
+    native = jnp.where(region, p, 0)
+
+    # border interpolation (hdr.c:1306-1353), applied in the same order
+    top = ys < 3
+    interp = jnp.where(top, _shift(p, 2, 0), interp)
+    native = jnp.where(top, p, native)
+    bot = ys >= h - 4
+    interp = jnp.where(bot, _shift(p, -2, 0), interp)
+    native = jnp.where(bot, p, native)
+    left = (ys >= 2) & (xs < 2)
+    interp = jnp.where(left, _shift(p, -2, 0), interp)
+    native = jnp.where(left, p, native)
+    right = (ys >= 2) & (xs >= w - 3)
+    interp = jnp.where(right, _shift(p, -2, -2), interp)
+    native = jnp.where(right, _shift(p, 0, -2), native)
+
+    rb = row_bright[:, None]
+    dark = jnp.where(rb, interp, native)
+    bright = jnp.where(rb, native, interp)
+    return dark, bright
+
+
+_ALIAS_FILTER_OFFS = [
+    (-2, -6), (0, -6), (2, -6),
+    (-4, -4), (-2, -4), (0, -4), (2, -4), (4, -4),
+    (-6, -2), (-4, -2), (-2, -2), (0, -2), (2, -2), (4, -2), (6, -2),
+    (-6, 0), (-4, 0), (-2, 0), (0, 0), (2, 0), (4, 0), (6, 0),
+    (-6, 2), (-4, 2), (-2, 2), (0, 2), (2, 2), (4, 2), (6, 2),
+    (-4, 4), (-2, 4), (0, 4), (2, 4), (4, 4),
+    (-2, 6), (0, 6), (2, 6),
+]
+
+# (weight, [(dx, dy), ...]) — transcribed exactly from hdr.c:1451-1460,
+# including the duplicated offset groups present in the reference
+_ALIAS_BLUR_GROUPS = [
+    (820, [(0, -2), (-2, 0), (2, 0), (0, 2)]),
+    (657, [(-2, -2), (2, -2), (-2, 2), (2, 2)]),
+    (421, [(0, -2), (-2, 0), (2, 0), (0, 2)]),
+    (337, [(-2, -2), (2, -2), (-2, -2), (2, -2), (-2, 2), (2, 2), (-2, 2), (2, 2)]),
+    (173, [(-2, -2), (2, -2), (-2, 2), (2, 2)]),
+    (139, [(0, -6), (-6, 0), (6, 0), (0, 6)]),
+    (111, [(-2, -6), (2, -6), (-6, -2), (6, -2), (-6, 2), (6, 2), (-2, 6), (2, 6)]),
+    (57, [(-2, -6), (2, -6), (-6, -2), (6, -2), (-6, 2), (6, 2), (-2, 6), (2, 6)]),
+]
+
+
+def _build_alias_map(fullres_smooth, halfres_smooth, bright, frcurve, lut, h, w):
+    """Aliasing-likelihood map (build_alias_map, hdr.c:1382-1486)."""
+    skip = frcurve[bright & 0xFFFFF] > FULLRES_THR
+    f = fullres_smooth
+    hm = halfres_smooth
+    fe = lut[jnp.clip(f, 0, lut.shape[0] - 1)]
+    he = lut[jnp.clip(hm, 0, lut.shape[0] - 1)]
+    e_lin = jnp.maximum(jnp.abs(f - hm) - int(DARK_NOISE20) * 3 // 2, 0)
+    e_log = jnp.abs(fe - he)
+    alias = jnp.minimum(jnp.minimum(e_lin // 2, e_log // 16), 65530)
+    alias = jnp.where(skip, 0, alias).astype(jnp.int32)
+
+    ys = jnp.arange(h)[:, None]
+    xs = jnp.arange(w)[None, :]
+    inner = (ys >= 6) & (ys < h - 6) & (xs >= 6) & (xs < w - 6)
+
+    # 6th largest of the 37-neighborhood (kth_smallest of negated, k=5)
+    stack = jnp.stack([_shift(alias, dy, dx) for (dx, dy) in _ALIAS_FILTER_OFFS])
+    kth = -jnp.sort(-stack, axis=0)[5]
+    aux = jnp.where(inner & ~skip, kth, alias)
+
+    # gaussian blur with the reference's exact integer group arithmetic
+    acc = aux  # center term, weight 1
+    for weight, offs in _ALIAS_BLUR_GROUPS:
+        g = jnp.zeros_like(aux)
+        for (dx, dy) in offs:
+            g = g + _shift(aux, dy, dx)
+        acc = acc + g * weight // 1024
+    alias = jnp.where(inner & ~skip, acc, alias)
+
+    # grayscale: per 2x2 cell max, capped (hdr.c:1466-1483); the loop runs
+    # even y,x in [2, h-2) so cells may extend one past h-2 for odd heights
+    ny_c = len(range(2, h - 2, 2))
+    nx_c = len(range(2, w - 2, 2))
+    sub = alias[2 : 2 + 2 * ny_c, 2 : 2 + 2 * nx_c]
+    cells = sub.reshape(ny_c, 2, nx_c, 2).max(axis=(1, 3))
+    cells = jnp.minimum(cells, ALIAS_MAP_MAX)
+    sub = jnp.repeat(jnp.repeat(cells, 2, axis=0), 2, axis=1)
+    alias = alias.at[2 : 2 + 2 * ny_c, 2 : 2 + 2 * nx_c].set(sub)
+    return alias
+
+
+def _blur_overexposed(over, h, w):
+    """3x3-ish integer blur of the overexposure map (hdr.c:1639-1655)."""
+    n4 = sum(_shift(over, dy, dx) for (dx, dy) in [(0, -1), (-1, 0), (1, 0), (0, 1)])
+    nd = sum(_shift(over, dy, dx) for (dx, dy) in [(-1, -1), (1, -1), (-1, 1), (1, 1)])
+    blurred = over + n4 * 820 // 1024 + nd * 657 // 1024
+    ys = jnp.arange(h)[:, None]
+    xs = jnp.arange(w)[None, :]
+    inner = (ys >= 3) & (ys < h - 3) & (xs >= 3) & (xs < w - 3)
+    return jnp.where(inner, blurred, over)
+
+
+def _reconstruct_one(
+    img,
+    row_bright,
+    s,
+    a,
+    b20,
+    white_darkened,
+    corr_ev,
+    overlap,
+    lut,
+    ev2raw0,
+    frcurve,
+    lutf_unused,
+    *,
+    black20: int,
+    white20: int,
+    interp_method: int,
+    use_fullres: bool,
+    use_alias: bool,
+    cs_method: int,
+):
+    h, w = img.shape
+    ev2raw_pos = ev2raw0[10 * EV_RESOLUTION :]
+
+    def ev2raw_at(e):
+        return ev2raw0[jnp.clip(e + 10 * EV_RESOLUTION, 0, 24 * EV_RESOLUTION - 1)]
+
+    # promote to 20 bits (hdr.c:825-837)
+    raw = (img.astype(jnp.int32) << 6) & 0xFFFFF
+
+    # exposure matching apply (hdr.c:783-809)
+    pf = raw.astype(jnp.float32)
+    rb = row_bright[:, None]
+    darkened = (pf - black20) * a + black20 + b20 * a
+    lifted = pf - b20 + b20 * a
+    adj = jnp.where(rb, darkened, lifted)
+    adj = jnp.clip(jnp.trunc(adj), 0, 0xFFFFF).astype(jnp.int32)
+    raw = jnp.where(raw == 0, 0, adj)
+
+    ev = lut[jnp.clip(raw, 0, lut.shape[0] - 1)]
+    white_row = jnp.where(row_bright, jnp.int32(white20), white_darkened)
+    evw_row = lut[jnp.clip(white_row, 0, lut.shape[0] - 1)]
+
+    if interp_method == 0:
+        from .amaze import amaze_edge_interpolate
+
+        dark, bright = amaze_edge_interpolate(
+            raw, ev, ev2raw_at, row_bright, s, lut, ev2raw0, frcurve,
+            white_darkened, black20=black20, white20=white20,
+        )
+        # border interpolation applies the same way afterwards
+        dark, bright = _apply_borders(raw, dark, bright, row_bright, h, w)
+    else:
+        dark, bright = _mean23_interpolate(raw, ev, ev2raw_at, row_bright, s, evw_row, h, w)
+
+    # full-res reconstruction (hdr.c:1355-1380)
+    if use_fullres:
+        fullres = jnp.where(
+            rb, jnp.where(bright < white_darkened, bright, jnp.maximum(bright, dark)), dark
+        )
+    else:
+        fullres = jnp.zeros_like(raw)
+
+    # half-res blend (mix_images, hdr.c:1560-1611)
+    max_ev = jnp.log2(jnp.float32(white20 // 64 - black20 // 64))
+    bev = lut[jnp.clip(bright, 0, lut.shape[0] - 1)]
+    dev = lut[jnp.clip(dark, 0, lut.shape[0] - 1)]
+    i_f = (bright & 0xFFFFF).astype(jnp.float32)
+    evb = jnp.log2(jnp.maximum(i_f / 64.0 - black20 / 64.0, 1.0)) + corr_ev
+    cmix = -jnp.cos(jnp.clip(evb - (max_ev - overlap), 0, overlap) * np.pi / overlap)
+    k = jnp.clip((cmix + 1) / 2, 0, 1)
+    mixed = jnp.trunc(bev * (1 - k) + dev * k).astype(jnp.int32)
+    halfres = ev2raw_at(mixed)
+
+    if cs_method:
+        fullres_smooth = chroma_smooth_image(fullres, cs_method, lut, ev2raw_pos, 0) if use_fullres else fullres
+        halfres_smooth = chroma_smooth_image(halfres, cs_method, lut, ev2raw_pos, 0)
+    else:
+        fullres_smooth = fullres
+        halfres_smooth = halfres
+
+    if use_alias:
+        alias = _build_alias_map(fullres_smooth, halfres_smooth, bright, frcurve, lut, h, w)
+    else:
+        alias = None
+
+    over = jnp.where((bright >= white_darkened) | (dark >= white20), 100, 0).astype(jnp.int32)
+    over = _blur_overexposed(over, h, w)
+
+    # final blend (hdr.c:1663-1758)
+    f = frcurve[bright & 0xFFFFF]
+    hrev = lut[jnp.clip(halfres_smooth, 0, lut.shape[0] - 1)].astype(jnp.float32)
+    frev = lut[jnp.clip(fullres, 0, lut.shape[0] - 1)].astype(jnp.float32)
+    frsev = lut[jnp.clip(fullres_smooth, 0, lut.shape[0] - 1)].astype(jnp.float32)
+    c = jnp.clip(alias.astype(jnp.float32) / ALIAS_MAP_MAX, 0, 1) if use_alias else 0.0
+    ovf = jnp.clip(over.astype(jnp.float32) / 200.0, 0, 1)
+    c = jnp.maximum(c, ovf)
+    noisy = jnp.maximum(ovf, 1 - f)
+    f = jnp.maximum(f, c)
+    fev = noisy * frsev + (1 - noisy) * frev
+    sig = (dark + bright) // 2
+    f = jnp.maximum(0.0, jnp.minimum(f, (sig - black20).astype(jnp.float32) / (4 * DARK_NOISE20)))
+    output = jnp.trunc(hrev * (1 - f) + fev * f).astype(jnp.int32)
+    output = jnp.clip(output, -10 * EV_RESOLUTION, 14 * EV_RESOLUTION - 1)
+    final20 = ev2raw0[output + 10 * EV_RESOLUTION]
+
+    # 20 → 16 bit; the reference's dither source is never seeded so its noise
+    # is all-zero: out = trunc(v/16 + 0.5) (hdr.c:242,1760-1772)
+    return jnp.clip((final20 + 8) >> 4, 0, 65535).astype(jnp.uint16)
+
+
+def _apply_borders(p, dark, bright, row_bright, h, w):
+    """Re-run border interpolation over existing dark/bright arrays."""
+    ys = jnp.arange(h)[:, None]
+    xs = jnp.arange(w)[None, :]
+    rb = row_bright[:, None]
+
+    def put(dark, bright, mask, interp_val, native_val):
+        d = jnp.where(mask, jnp.where(rb, interp_val, native_val), dark)
+        b = jnp.where(mask, jnp.where(rb, native_val, interp_val), bright)
+        return d, b
+
+    dark, bright = put(dark, bright, ys < 3, _shift(p, 2, 0), p)
+    dark, bright = put(dark, bright, ys >= h - 4, _shift(p, -2, 0), p)
+    dark, bright = put(dark, bright, (ys >= 2) & (xs < 2), _shift(p, -2, 0), p)
+    dark, bright = put(
+        dark, bright, (ys >= 2) & (xs >= w - 3), _shift(p, -2, -2), _shift(p, 0, -2)
+    )
+    return dark, bright
+
+
+@functools.partial(jax.jit, static_argnames=("black20", "white20", "interp_method", "use_fullres", "use_alias", "cs_method"))
+def reconstruct_batch(
+    imgs, row_bright, s, a, b20, white_darkened, corr_ev, overlap,
+    lut, ev2raw0, frcurve,
+    *, black20, white20, interp_method, use_fullres, use_alias, cs_method,
+):
+    fn = functools.partial(
+        _reconstruct_one,
+        black20=black20,
+        white20=white20,
+        interp_method=interp_method,
+        use_fullres=use_fullres,
+        use_alias=use_alias,
+        cs_method=cs_method,
+    )
+    return jax.vmap(lambda im, r, ss, aa, bb, wd, ce, ov: fn(im, r, ss, aa, bb, wd, ce, ov, lut, ev2raw0, frcurve, None))(
+        imgs, row_bright, s, a, b20, white_darkened, corr_ev, overlap
+    )
+
+
+# ------------------------------------------------------------ orchestrator
+
+
+def cr2hdr20_batch(imgs, fh, cfg, cal):
+    """Full path for a batch. Returns (imgs_u16, ok_mask ndarray)."""
+    ri = fh.raw_info
+    black, white14 = ri.black_level, ri.white_level
+    b, h, w = imgs.shape
+
+    lutf = jnp.asarray(np.asarray(raw2ev_lutf(black), np.float32))
+    is_hdr = np.asarray(hdr_check_batch(imgs, lutf, black, white14))
+
+    # focus + optional bad pixels, horizontal mode (cr2hdr20, hdr.c:1942-1948)
+    from . import pixels as pixel_ops
+
+    crop_x = (int(fh.vidf["panPosX"]) + 7) & ~7
+    crop_y = int(fh.vidf["panPosY"]) & ~1
+    if cal is not None and cal.focus_pixel_list is not None and len(cal.focus_pixel_list):
+        imgs = pixel_ops.fix_pixel_list_batch(
+            imgs, cal.focus_pixel_list, black, crop_x, crop_y, dual_iso=True
+        )
+    if cfg.fix_bad_pixels:
+        first = np.asarray(imgs[0])
+        bp = pixel_ops.detect_bad_pixels(
+            first, w, h, black, aggressive=(cfg.fix_bad_pixels == 2), crop_x=crop_x, crop_y=crop_y
+        )
+        if len(bp):
+            imgs = pixel_ops.fix_pixel_list_batch(imgs, bp, black, crop_x, crop_y, dual_iso=True)
+
+    host_imgs = np.asarray(imgs)  # analysis stages need host values
+
+    # Bayer order: per-clip static (sensor property); from the first frame
+    rggb = analysis.identify_rggb_or_gbrg(host_imgs[0])
+    y_off = 0 if rggb else 1
+    hh = h if rggb else h - 1
+    # GBRG shifts the image down one row AND bumps active_area.y1 to 1
+    # (hdr.c:1784-1791), which moves the analysis sampling origins
+    ay1 = 0 if rggb else 1
+    sub = lambda fr: fr[y_off : y_off + hh]  # noqa: E731
+
+    # per-frame scalars
+    ok = np.zeros(b, bool)
+    row_bright = np.zeros((b, hh), bool)
+    s_arr = np.ones((b, hh), np.int32)
+    a_arr = np.ones(b, np.float32)
+    b20_arr = np.zeros(b, np.float32)
+    wd_arr = np.full(b, 1 << 20, np.int32)
+    ce_arr = np.zeros(b, np.float32)
+    ov_arr = np.ones(b, np.float32)
+    whites20 = np.zeros(b, np.int64)
+
+    dark_noise_ev = np.log2(8.0) + 6
+    ys = np.arange(hh)
+    for i in range(b):
+        if not is_hdr[i]:
+            continue
+        frame = sub(host_imgs[i])
+        fok, is_bright = analysis.identify_bright_and_dark_fields(frame, black, active_y1=ay1)
+        if not fok:
+            continue
+        wdark, wbright = analysis.white_detect(frame, is_bright, (ay1, 0, hh, w))
+        black20 = black * 64
+        white20 = wdark * 64
+        # match_exposures clips against min(white, initial white_darkened =
+        # white_bright) (hdr.c:642,1864)
+        fit = analysis.match_exposures(
+            frame, is_bright, black20, min(wdark, wbright) * 64, active_y1=ay1
+        )
+        if not fit.ok:
+            continue
+        lowiso_dr = np.log2(white20 - black20) - dark_noise_ev
+        overlap = lowiso_dr - fit.corr_ev
+        overlap -= min(3.0, overlap - 3.0)
+        if overlap < 0.5:
+            continue
+        ok[i] = True
+        ib = np.array(is_bright, bool)
+        row_bright[i] = ib[ys % 4]
+        s_arr[i] = np.where(ib[ys % 4] == ib[(ys + 1) % 4], -1, 1)
+        a_arr[i] = fit.a
+        b20_arr[i] = fit.b * 16
+        wd_arr[i] = fit.white_darkened
+        ce_arr[i] = fit.corr_ev
+        ov_arr[i] = overlap
+        whites20[i] = white20
+
+    if not ok.any():
+        return imgs, ok
+
+    # the reconstruction is compiled per (black20, white20): white_detect can
+    # vary per frame; use the first converted frame's white for the LUTs and
+    # pass per-frame white via white_darkened/rows (the LUT white clamp only
+    # affects values at/above white — PSNR-immaterial for mixed batches)
+    black20 = black * 64
+    white20 = int(whites20[ok][0])
+    lut = jnp.asarray(np.asarray(raw2ev_lut20(black20, white20)))
+    ev2raw0 = jnp.asarray(np.asarray(ev2raw_lut20(black20, white20)))
+    frcurve = jnp.asarray(np.asarray(fullres_curve(black20), np.float32))
+
+    sub_imgs = imgs[:, y_off : y_off + hh, :]
+    out_sub = reconstruct_batch(
+        sub_imgs,
+        jnp.asarray(row_bright),
+        jnp.asarray(s_arr),
+        jnp.asarray(a_arr),
+        jnp.asarray(b20_arr),
+        jnp.asarray(wd_arr),
+        jnp.asarray(ce_arr),
+        jnp.asarray(ov_arr),
+        lut,
+        ev2raw0,
+        frcurve,
+        black20=black20,
+        white20=white20,
+        interp_method=cfg.hdr_interpolation_method,
+        use_fullres=not cfg.hdr_no_fullres,
+        use_alias=not cfg.hdr_no_alias_map,
+        cs_method=cfg.chroma_smooth,
+    )
+    out = imgs.at[:, y_off : y_off + hh, :].set(out_sub)
+    okj = jnp.asarray(ok)[:, None, None]
+    return jnp.where(okj, out, imgs), ok

@@ -177,3 +177,37 @@ def deflicker(fh, target: int, img: np.ndarray):
         _buf(b), target, data.ctypes.data_as(ctypes.c_void_p), ctypes.c_size_t(data.size * 2), bias
     )
     return int(bias[0]), int(bias[1])
+
+
+class capture_c_stdout:
+    """Capture printf output from oracle calls (the reference logs its
+    dual-ISO analysis — ISO pattern, white levels, fitted EV — to stdout)."""
+
+    def __enter__(self):
+        import tempfile
+
+        self._tmp = tempfile.TemporaryFile()
+        self._saved = os.dup(1)
+        import sys
+
+        sys.stdout.flush()
+        os.dup2(self._tmp.fileno(), 1)
+        return self
+
+    def __exit__(self, *exc):
+        import sys
+
+        try:
+            lib()  # ensure libc buffers flushed via fflush(NULL)
+            import ctypes
+
+            ctypes.CDLL(None).fflush(None)
+        except Exception:
+            pass
+        sys.stdout.flush()
+        os.dup2(self._saved, 1)
+        os.close(self._saved)
+        self._tmp.seek(0)
+        self.text = self._tmp.read().decode("utf-8", "replace")
+        self._tmp.close()
+        return False

@@ -1,0 +1,84 @@
+"""Full dual-ISO (cr2hdr 20-bit) path vs the reference, mean23 interpolation."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from mlvfs_tpu.format import synth
+from mlvfs_tpu.format.reader import MLVClip
+from mlvfs_tpu.ops import dualiso_full
+from mlvfs_tpu.pipeline.config import ProcessingConfig
+
+from . import oracle
+
+pytestmark = pytest.mark.skipif(not oracle.available(), reason="reference oracle unavailable")
+
+
+def _dual_clip(tmp_path, phase=0, ev=3, seed=17, gbrg=False):
+    spec = synth.SynthSpec(
+        width=1280, height=960, frames=1, seed=seed, dual_iso=ev, dual_iso_phase=phase, gbrg=gbrg
+    )
+    img = synth.make_frame_data(spec, np.random.default_rng(spec.seed))
+    path = str(tmp_path / "DI.MLV")
+    synth.write_mlv(path, spec, frame_data=img[None])
+    return MLVClip(path).frame_headers(0), spec, img
+
+
+def _psnr(a, b):
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    return np.inf if mse == 0 else 10 * np.log10(65535.0**2 / mse)
+
+
+def _run(fh, img, cfg):
+    out, ok = dualiso_full.cr2hdr20_batch(jnp.asarray(img[None]), fh, cfg, None)
+    return np.asarray(out)[0], ok
+
+
+@pytest.mark.parametrize(
+    "phase,gbrg", [(0, False), (1, False), (2, False), (0, True)]
+)
+def test_full_mean23_parity(tmp_path, phase, gbrg):
+    fh, spec, img = _dual_clip(tmp_path, phase=phase, gbrg=gbrg)
+    ref, ok, bl, wl = oracle.cr2hdr20(fh, img, interp=1, fullres=1, alias_map=1)
+    assert ok
+    assert (bl, wl) == (spec.black * 4, spec.white * 4)
+    cfg = ProcessingConfig(dual_iso=2, hdr_interpolation_method=1)
+    ours, okm = _run(fh, img, cfg)
+    assert okm[0]
+    assert _psnr(ref, ours) > 55, f"PSNR {_psnr(ref, ours):.1f}"
+    assert (ref != ours).mean() < 0.02
+
+
+@pytest.mark.parametrize(
+    "fullres,alias,cs",
+    [(0, 1, 0), (1, 0, 0), (1, 1, 3), (0, 0, 5)],
+)
+def test_full_mean23_option_parity(tmp_path, fullres, alias, cs):
+    fh, spec, img = _dual_clip(tmp_path)
+    ref, ok, _, _ = oracle.cr2hdr20(fh, img, interp=1, fullres=fullres, alias_map=alias, cs_method=cs)
+    assert ok
+    cfg = ProcessingConfig(
+        dual_iso=2,
+        hdr_interpolation_method=1,
+        hdr_no_fullres=not fullres,
+        hdr_no_alias_map=not alias,
+        chroma_smooth=cs,
+    )
+    ours, okm = _run(fh, img, cfg)
+    assert okm[0]
+    p = _psnr(ref, ours)
+    # no-fullres blends the huge negative EV of pixel value 0 scaled by the
+    # f32 fullres-curve lookup, amplifying f32-vs-f64 rounding; still far
+    # inside the PSNR parity gate
+    bound = 45 if not fullres else 55
+    assert p > bound, f"PSNR {p:.1f} (fullres={fullres} alias={alias} cs={cs})"
+
+
+def test_full_rejects_non_dual(tmp_path):
+    fh, spec, img = _dual_clip(tmp_path, ev=0)
+    ref, ok, _, _ = oracle.cr2hdr20(fh, img, interp=1)
+    ours, okm = _run(fh, img, ProcessingConfig(dual_iso=2, hdr_interpolation_method=1))
+    assert bool(okm[0]) == ok
+    if not ok:
+        np.testing.assert_array_equal(ours, img)
