@@ -1,0 +1,183 @@
+"""Dual-ISO amaze-edge interpolation (--amaze-edge, the default).
+
+The reference's highest-quality path (amaze_interpolate, hdr.c:954-1229):
+
+  1. squeeze each exposure to half height by deleting the other exposure's
+     rows (phase-preserving row permutation);
+  2. AMaZE-demosaic the squeezed double-image (greens pre-scaled x0.5 to
+     approximate final white balance);
+  3. grayscale projection g/2 + r/4 + b/4, de-squeezed;
+  4. per-pixel best of 12 edge directions, scored in EV space over an
+     11-offset search window (skipped where full-res data will win anyway);
+  5. edge-directed 2-tap interpolation of the missing exposure from the
+     demosaiced planes, averaged over dir-1/dir/dir+1.
+
+TPU mapping: the squeeze is a row permutation (gather); the 12x11x4-tap
+scorer unrolls into static shifted adds over the EV-mapped grayscale; the
+direction-dependent interpolation computes all 12 candidates and selects
+with take_along_axis. The AMaZE core itself lives in amaze_core.py.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .luts import EV_RESOLUTION
+from .amaze_core import amaze_demosaic
+from .dualiso_full import _shift as _sh  # noqa: circular-safe (function-level import in dualiso_full)
+
+FULLRES_THR = 0.8
+
+# edge direction table (hdr.c:916-938): (ack, a, b, bck); y components are
+# multiplied by the per-row exposure direction s
+# 12 entries; index 5 is "vertical, preferred"
+EDGE_DIRECTIONS = (
+    ((-4, 2), (-2, 1), (4, -2), (6, -3)),
+    ((-3, 2), (-1, 1), (3, -2), (4, -3)),
+    ((-2, 2), (-1, 1), (2, -2), (3, -3)),
+    ((-1, 2), (-1, 1), (1, -2), (2, -3)),
+    ((-1, 2), (0, 1), (1, -2), (1, -3)),
+    ((0, 2), (0, 1), (0, -2), (0, -3)),
+    ((1, 2), (0, 1), (-1, -2), (-1, -3)),
+    ((1, 2), (1, 1), (-1, -2), (-2, -3)),
+    ((2, 2), (1, 1), (-2, -2), (-3, -3)),
+    ((3, 2), (1, 1), (-3, -2), (-4, -3)),
+    ((4, 2), (2, 1), (-4, -2), (-6, -3)),
+    ((6, 2), (3, 1), (-6, -2), (-9, -3)),
+)
+D0 = len(EDGE_DIRECTIONS) // 2
+SEARCH_AREA = 5
+
+
+def _tdiv(a, b):
+    q = jnp.abs(a) // b
+    return jnp.where(a < 0, -q, q)
+
+
+def _srow_shift(a, s, dy_mag, dx):
+    """a[y + s*dy_mag, x + dx] with per-row sign s."""
+    plus = _sh(a, dy_mag, dx)
+    minus = _sh(a, -dy_mag, dx)
+    return jnp.where((s == 1)[:, None], plus, minus)
+
+
+def squeeze_rows(row_bright, h):
+    """The squeeze permutation (hdr.c:977-1026): squeezed[y] = target row."""
+    rb = row_bright
+    dark = ~rb
+    idx = jnp.arange(h)
+    first_dark = jnp.argmax(dark)
+    first_bright = jnp.argmax(rb)
+    nd_before = jnp.cumsum(dark) - dark
+    nb_before = jnp.cumsum(rb) - rb
+    sq_dark = first_dark + nd_before
+    sq_bright = (h // 4) * 2 + first_bright + nb_before
+    # guard: the reference stops when yh >= h (hdr.c:1025)
+    return jnp.where(rb, jnp.minimum(sq_bright, h - 1), sq_dark).astype(jnp.int32)
+
+
+def amaze_edge_interpolate(
+    raw,
+    ev,
+    ev2raw_at,
+    row_bright,
+    s,
+    lut,
+    ev2raw0,
+    frcurve,
+    white_darkened,
+    *,
+    black20: int,
+    white20: int,
+):
+    """(dark, bright) interpolated exposures — amaze_interpolate (hdr.c:954)."""
+    h, w = raw.shape
+    squeezed = squeeze_rows(row_bright, h)
+
+    # squeeze with green pre-scale (hdr.c:987-1019)
+    yy = jnp.arange(h)[:, None]
+    xx = jnp.arange(w)[None, :]
+    green_site = (xx % 2) != (yy % 2)
+    scaled = jnp.where(green_site, _tdiv(raw - black20, 2) + black20, raw)
+    sq_img = jnp.zeros((h, w), jnp.float32).at[squeezed, :].set(scaled.astype(jnp.float32))
+
+    red, grn, blu = amaze_demosaic(sq_img)
+
+    # undo green scaling, clamp (hdr.c:1045-1053)
+    grn = jnp.clip((grn - black20) * 2.0 + black20, 0, 0xFFFFF)
+    red = jnp.clip(red, 0, 0xFFFFF)
+    blu = jnp.clip(blu, 0, 0xFFFFF)
+
+    # de-squeeze (gather rows) — every read below is plane[squeezed[y']][x']
+    U_r = red[squeezed]
+    U_g = grn[squeezed]
+    U_b = blu[squeezed]
+
+    # grayscale in original coordinates (hdr.c:1059-1062), trunc to int
+    gray = (U_g / 2.0 + U_r / 4.0 + U_b / 4.0).astype(jnp.int32)
+    evgray = lut[jnp.clip(gray, 0, lut.shape[0] - 1)]
+
+    # ---- edge direction scoring (hdr.c:1094-1175) -------------------------
+    fc = frcurve[raw & 0xFFFFF]
+    rb2 = row_bright[:, None]
+    # restricted pixels use only the vertical direction d0 (hdr.c:1105-1133)
+    restricted = jnp.where(rb2, raw < white_darkened, fc > FULLRES_THR)
+
+    def tap(dx, dy_units):
+        # offsets are (x, y) with y premultiplied by s
+        return _srow_shift(evgray, s * np.sign(dy_units), abs(dy_units), dx)
+
+    e_all = []
+    for (ack, a, b, bck) in EDGE_DIRECTIONS:
+        e = jnp.zeros_like(evgray)
+        for j in range(-SEARCH_AREA, SEARCH_AREA + 1):
+            p1 = tap(ack[0] + j, ack[1])
+            p2 = tap(a[0] + j, a[1])
+            p3 = tap(b[0] + j, b[1])
+            p4 = tap(bck[0] + j, bck[1])
+            e = e + jnp.abs(p1 - p2) + jnp.abs(p2 - p3) + jnp.abs(p3 - p4)
+        e_all.append(e)
+    e_stack = jnp.stack(e_all)  # (12, h, w)
+    penalty = jnp.asarray(
+        [abs(d - D0) * EV_RESOLUTION // 8 for d in range(len(EDGE_DIRECTIONS))], jnp.int32
+    )
+    scores = e_stack + penalty[:, None, None]
+    d_best = jnp.argmin(scores, axis=0).astype(jnp.int32)
+    d_best = jnp.where(restricted, D0, d_best)
+    # edge_direction defaults to d0 outside the scored window (hdr.c:1065-1069)
+    window = (yy >= 5) & (yy < h - 5) & (xx >= 5) & (xx < w - 5)
+    d_best = jnp.where(window, d_best, D0)
+
+    # ---- edge-directed interpolation (hdr.c:1182-1210) --------------------
+    # plane of each pixel = its Bayer color
+    def plane_sel(dy_units, dx):
+        r = _srow_shift(U_r, s * np.sign(dy_units), abs(dy_units), dx)
+        g = _srow_shift(U_g, s * np.sign(dy_units), abs(dy_units), dx)
+        b = _srow_shift(U_b, s * np.sign(dy_units), abs(dy_units), dx)
+        red_mask = (yy % 2 == 0) & (xx % 2 == 0)
+        blue_mask = (yy % 2 == 1) & (xx % 2 == 1)
+        return jnp.where(red_mask, r, jnp.where(blue_mask, b, g))
+
+    pi_all = []
+    for (ack, a, b, bck) in EDGE_DIRECTIONS:
+        pa = jnp.clip(jnp.trunc(plane_sel(a[1], a[0])), 0, 0xFFFFF).astype(jnp.int32)
+        pb = jnp.clip(jnp.trunc(plane_sel(b[1], b[0])), 0, 0xFFFFF).astype(jnp.int32)
+        eva = lut[pa]
+        evb = lut[pb]
+        pi_all.append(_tdiv(eva * 2 + evb, 3))
+    pi_stack = jnp.stack(pi_all)  # (12, h, w)
+
+    nd = len(EDGE_DIRECTIONS)
+    pi0 = jnp.take_along_axis(pi_stack, d_best[None], axis=0)[0]
+    pip = jnp.take_along_axis(pi_stack, jnp.minimum(d_best + 1, nd - 1)[None], axis=0)[0]
+    pim = jnp.take_along_axis(pi_stack, jnp.maximum(d_best - 1, 0)[None], axis=0)[0]
+    interp_val = ev2raw_at(_tdiv(2 * pi0 + pip + pim, 4))
+
+    region = (yy >= 2) & (yy <= h - 3) & (xx >= 2) & (xx <= w - 3)
+    interp = jnp.where(region, interp_val, 0)
+    native = jnp.where(region, raw, 0)
+    dark = jnp.where(rb2, interp, native)
+    bright = jnp.where(rb2, native, interp)
+    return dark, bright

@@ -211,3 +211,28 @@ class capture_c_stdout:
         self.text = self._tmp.read().decode("utf-8", "replace")
         self._tmp.close()
         return False
+
+
+def amaze(raw01: np.ndarray):
+    """Run the reference AMaZE demosaic on a [0,1]-scaled mosaic*65535.
+
+    Input convention matches amaze_interpolate (hdr.c:962-1040): float32
+    buffer of pixel values (0..65535 scale), rows padded to width+16.
+    Returns (red, green, blue) float32 planes.
+    """
+    h, w = raw01.shape
+    stride = w + 16
+    rawp = np.zeros((h, stride), np.float32)
+    rawp[:, :w] = raw01
+    r = np.zeros((h, stride), np.float32)
+    g = np.zeros((h, stride), np.float32)
+    b = np.zeros((h, stride), np.float32)
+    L = lib()
+    L.oracle_amaze(
+        rawp.ctypes.data_as(ctypes.c_void_p),
+        r.ctypes.data_as(ctypes.c_void_p),
+        g.ctypes.data_as(ctypes.c_void_p),
+        b.ctypes.data_as(ctypes.c_void_p),
+        w, h, stride,
+    )
+    return r[:, :w], g[:, :w], b[:, :w]

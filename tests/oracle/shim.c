@@ -162,3 +162,25 @@ void oracle_deflicker(void * fh, int target, uint16_t * data, size_t size, int32
     bias_out[1] = 10000;
     hist_destroy(hist);
 }
+
+/* direct access to the AMaZE demosaic for core parity tests */
+void amaze_demosaic_RT(float** rawData, float** red, float** green, float** blue,
+                       int winx, int winy, int winw, int winh);
+
+void oracle_amaze(float * raw_flat, float * r_flat, float * g_flat, float * b_flat,
+                  int w, int h, int stride)
+{
+    float ** rows_raw = malloc(h * sizeof(float*));
+    float ** rows_r = malloc(h * sizeof(float*));
+    float ** rows_g = malloc(h * sizeof(float*));
+    float ** rows_b = malloc(h * sizeof(float*));
+    for (int i = 0; i < h; i++)
+    {
+        rows_raw[i] = raw_flat + (size_t)i * stride;
+        rows_r[i] = r_flat + (size_t)i * stride;
+        rows_g[i] = g_flat + (size_t)i * stride;
+        rows_b[i] = b_flat + (size_t)i * stride;
+    }
+    amaze_demosaic_RT(rows_raw, rows_r, rows_g, rows_b, 0, 0, w, h);
+    free(rows_raw); free(rows_r); free(rows_g); free(rows_b);
+}
