@@ -50,6 +50,11 @@ def _add_processing_flags(p: argparse.ArgumentParser):
     p.add_argument("--prefetch", type=int, default=2, help="Host->device pipeline depth")
     p.add_argument("--no-idx", action="store_true", help="Do not read/write .IDX sidecar indexes")
     p.add_argument("--fpm-dir", default=None, help="Directory containing focus pixel maps (.fpm)")
+    p.add_argument(
+        "--compress-dng",
+        action="store_true",
+        help="Write lossless-compressed (LJ92) DNGs instead of uncompressed",
+    )
 
 
 def config_from_args(args) -> ProcessingConfig:
@@ -72,6 +77,7 @@ def config_from_args(args) -> ProcessingConfig:
         prefetch=args.prefetch,
         use_sidecar_idx=not args.no_idx,
         focus_pixel_dir=args.fpm_dir,
+        compress="lj92" if getattr(args, "compress_dng", False) else "none",
     )
 
 

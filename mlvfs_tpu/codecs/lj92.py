@@ -1,0 +1,114 @@
+"""ctypes bindings for the native LJ92 codec (mlvfs_tpu/native/lj92.cpp).
+
+Builds the shared library on first use (cached next to the source). The
+decoder serves LJ92-compressed MLV frames (MLV_VIDEO_CLASS_FLAG_LJ92,
+mlv.h:30; decode call site main.c:617-681); the encoder produces
+lossless-compressed CinemaDNG strips (the reference ships an encoder it
+never calls — lj92.c:1104 — which the compressed-DNG output config needs).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(os.path.dirname(_DIR), "native", "lj92.cpp")
+_LIB = os.path.join(os.path.dirname(_DIR), "native", "liblj92.so")
+_lock = threading.Lock()
+_lib = None
+
+
+def _load():
+    global _lib
+    with _lock:
+        if _lib is not None:
+            return _lib
+        if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < os.path.getmtime(_SRC):
+            subprocess.run(
+                ["g++", "-O3", "-fPIC", "-shared", "-std=c++17", "-o", _LIB, _SRC],
+                check=True,
+                capture_output=True,
+            )
+        lib = ctypes.CDLL(_LIB)
+        lib.lj92_decode_buf.restype = ctypes.c_int
+        lib.lj92_decode_buf.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_size_t,
+            ctypes.c_void_p,
+            ctypes.c_size_t,
+            ctypes.c_void_p,
+        ]
+        lib.lj92_encode_buf.restype = ctypes.c_long
+        lib.lj92_encode_buf.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_void_p,
+            ctypes.c_size_t,
+        ]
+        _lib = lib
+        return lib
+
+
+def available() -> bool:
+    try:
+        _load()
+        return True
+    except (OSError, subprocess.CalledProcessError):
+        return False
+
+
+def decode(data: bytes, max_pixels: int = 1 << 26):
+    """Decode an LJ92 stream → (samples uint16 [h, w*ncomp], width, height,
+    bits, ncomp). Raises ValueError on corrupt streams."""
+    lib = _load()
+    buf = np.frombuffer(data, np.uint8)
+    out = np.empty(max_pixels, np.uint16)
+    dims = (ctypes.c_int * 4)()
+    rc = lib.lj92_decode_buf(
+        buf.ctypes.data_as(ctypes.c_void_p),
+        len(buf),
+        out.ctypes.data_as(ctypes.c_void_p),
+        max_pixels,
+        dims,
+    )
+    if rc != 0:
+        raise ValueError(f"LJ92 decode failed ({rc})")
+    w, h, bits, ncomp = dims[0], dims[1], dims[2], dims[3]
+    return out[: w * h * ncomp].reshape(h, w * ncomp).copy(), w, h, bits, ncomp
+
+
+def encode(samples: np.ndarray, ncomp: int = 1, bits: int = 16) -> bytes:
+    """Encode (h, w*ncomp) uint16 samples as SOF3 predictor-1 lossless JPEG."""
+    samples = np.ascontiguousarray(samples, np.uint16)
+    h, row = samples.shape
+    assert row % ncomp == 0
+    w = row // ncomp
+    lib = _load()
+    cap = samples.size * 3 + 4096
+    out = np.empty(cap, np.uint8)
+    n = lib.lj92_encode_buf(
+        samples.ctypes.data_as(ctypes.c_void_p),
+        w,
+        h,
+        ncomp,
+        bits,
+        out.ctypes.data_as(ctypes.c_void_p),
+        cap,
+    )
+    if n < 0:
+        raise ValueError(f"LJ92 encode failed ({n})")
+    return out[:n].tobytes()
+
+
+def encode_bayer_dng_strip(img: np.ndarray, bits: int = 16) -> bytes:
+    """Encode a Bayer mosaic (H, W) as the 2-component interleaved layout
+    DNG writers use (each component one CFA column parity, predictor 1)."""
+    return encode(img, ncomp=2, bits=bits)

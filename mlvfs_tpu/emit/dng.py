@@ -84,6 +84,7 @@ ttUndefined, ttSRational = 7, 10
 # tag values
 sfMainImage = 0
 ccUncompressed = 1
+ccJPEG = 7  # lossless JPEG (SOF3) for DNG
 piCFA = 32803
 pcInterleaved = 1
 lsStandardLightA = 17
@@ -178,12 +179,21 @@ def dng_file_size(xres: int, yres: int) -> int:
     return HEADER_SIZE + dng_image_size(xres, yres)  # dng.c:888
 
 
-def build_dng_header(frame_headers, fps_override: float = 0.0, mlv_basename: str = "") -> bytes:
+def build_dng_header(
+    frame_headers,
+    fps_override: float = 0.0,
+    mlv_basename: str = "",
+    compression: str = "none",
+    strip_byte_count: int = None,
+) -> bytes:
     """Build the 64 KiB CDNG header for one frame.
 
     ``frame_headers`` is a mlvfs_tpu.format.mlv.FrameHeaders. Mirrors
     dng_get_header_data (dng.c:612-789) including its squeeze-factor
-    heuristics and active-area rewrite.
+    heuristics and active-area rewrite. ``compression='lj92'`` switches the
+    Compression tag to lossless JPEG (7) with the given strip byte count —
+    the compressed-DNG output mode the reference ships an encoder for but
+    never wires up (lj92.c:1104).
     """
     header = bytearray(HEADER_SIZE)
     header[0:8] = struct.pack("<HHI", 0x4949, 42, 8)  # II, magic, first IFD at 8
@@ -251,7 +261,7 @@ def build_dng_header(frame_headers, fps_override: float = 0.0, mlv_basename: str
         (tcImageWidth, ttLong, 1, xres),
         (tcImageLength, ttLong, 1, yres),
         (tcBitsPerSample, ttShort, 1, 16),
-        (tcCompression, ttShort, 1, ccUncompressed),
+        (tcCompression, ttShort, 1, ccJPEG if compression == "lj92" else ccUncompressed),
         (tcPhotometricInterpretation, ttShort, 1, piCFA),
         (tcFillOrder, ttShort, 1, 1),
         (tcMake, ttAscii, len(make) + 1, data.add_string(make)),
@@ -260,7 +270,12 @@ def build_dng_header(frame_headers, fps_override: float = 0.0, mlv_basename: str
         (tcOrientation, ttShort, 1, 1),
         (tcSamplesPerPixel, ttShort, 1, 1),
         (tcRowsPerStrip, ttShort, 1, yres),
-        (tcStripByteCounts, ttLong, 1, dng_image_size(xres, yres)),
+        (
+            tcStripByteCounts,
+            ttLong,
+            1,
+            strip_byte_count if strip_byte_count is not None else dng_image_size(xres, yres),
+        ),
         (tcPlanarConfiguration, ttShort, 1, pcInterleaved),
         (tcSoftware, ttAscii, len(SOFTWARE_NAME) + 1, data.add_string(SOFTWARE_NAME)),
         (tcDateTime, ttAscii, len(datetime_str) + 1, data.add_string(datetime_str)),

@@ -39,7 +39,7 @@ class SynthSpec:
     wb_mode: int = mlv.WB_KELVIN
     kelvin: int = 5600
     guid: int = 0xDEADBEEF12345678
-    compression: str = "none"  # none | lzma
+    compression: str = "none"  # none | lzma | lj92
     chunks: int = 1  # split VIDFs across .MLV + .M00.. files
     audio: bool = False
     audio_rate: int = 48000
@@ -119,7 +119,11 @@ def write_mlv(path: str, spec: SynthSpec = None, frame_data=None, **kw) -> Synth
     mlvi["fileNum"] = 0
     mlvi["fileCount"] = spec.chunks
     mlvi["videoClass"] = mlv.MLV_VIDEO_CLASS_RAW | (
-        mlv.MLV_VIDEO_CLASS_FLAG_LZMA if spec.compression == "lzma" else 0
+        mlv.MLV_VIDEO_CLASS_FLAG_LZMA
+        if spec.compression == "lzma"
+        else mlv.MLV_VIDEO_CLASS_FLAG_LJ92
+        if spec.compression == "lj92"
+        else 0
     )
     mlvi["audioClass"] = 1 if spec.audio else 0
     mlvi["videoFrameCount"] = f
@@ -210,6 +214,18 @@ def write_mlv(path: str, spec: SynthSpec = None, frame_data=None, **kw) -> Synth
         if spec.compression == "lzma":
             raw16 = pixels.astype("<u2").tobytes()
             payload = _lzma_compress_payload(raw16)
+        elif spec.compression == "lj92":
+            # real LJ92 MLV streams store the frame 2D-tiled; the reader
+            # undoes it after decode (main.c:652-668)
+            from ..codecs import lj92 as lj92_codec
+
+            fr = frame_data[i]
+            hh, ww = fr.shape
+            fy = (2 * np.arange(hh)) % hh + (2 * np.arange(hh)) // hh
+            fx = (2 * np.arange(ww)) % ww + (2 * np.arange(ww)) // ww
+            tiled = fr[fy][:, fx]
+            stream = lj92_codec.encode(tiled, ncomp=1, bits=spec.bpp)
+            payload = np.uint32(hh * ww * 2).tobytes() + stream
         else:
             payload = pack_bits_np(pixels, spec.bpp).astype("<u2").tobytes()
         vidf = mlv.new_block(mlv.VIDF, b"VIDF")

@@ -1,0 +1,480 @@
+// Lossless JPEG (ITU-T T.81, 1992, SOF3) codec — the native runtime half of
+// the MLV→DNG pipeline: decodes LJ92-compressed MLV video frames and encodes
+// lossless-compressed CinemaDNG strips.
+//
+// Written from scratch against the T.81 Annex H process semantics used by
+// Magic Lantern streams (single component, predictors 1-7, first sample
+// 2^(P-1), first row predicts left, first column predicts above) and by
+// DNG writers (two interleaved components for Bayer data, predictor 1).
+//
+// Exposed as a small C ABI consumed via ctypes (mlvfs_tpu/codecs/lj92.py).
+
+#include <cstdint>
+#include <cstdlib>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+struct BitReader {
+    const uint8_t* p;
+    const uint8_t* end;
+    uint64_t bits = 0;
+    int nbits = 0;
+    bool bad = false;
+
+    BitReader(const uint8_t* data, size_t len) : p(data), end(data + len) {}
+
+    inline void fill() {
+        while (nbits <= 56) {
+            if (p >= end) {
+                // feed zeros past the end; decode loop bounds stop us
+                bits |= 0;
+                nbits += 8;
+                continue;
+            }
+            uint8_t byte = *p++;
+            if (byte == 0xFF) {
+                // byte stuffing: FF 00 means literal FF; FFxx is a marker
+                if (p < end && *p == 0x00) {
+                    p++;
+                } else {
+                    // marker (e.g. EOI): treat as end of stream
+                    p = end;
+                }
+            }
+            bits |= (uint64_t)byte << (56 - nbits);
+            nbits += 8;
+        }
+    }
+
+    inline uint32_t peek(int n) {
+        fill();
+        return (uint32_t)(bits >> (64 - n));
+    }
+
+    inline void skip(int n) {
+        bits <<= n;
+        nbits -= n;
+    }
+};
+
+struct Huff {
+    // flat 16-bit lookup: value = (code length << 8) | ssss
+    std::vector<uint16_t> lut;
+
+    bool build(const uint8_t* counts /*16*/, const uint8_t* symbols, int nsym) {
+        lut.assign(1 << 16, 0xFFFF);
+        uint32_t code = 0;
+        int k = 0;
+        for (int len = 1; len <= 16; len++) {
+            for (int i = 0; i < counts[len - 1]; i++) {
+                if (k >= nsym) return false;
+                uint8_t ssss = symbols[k++];
+                uint32_t base = code << (16 - len);
+                uint32_t span = 1u << (16 - len);
+                uint16_t entry = (uint16_t)((len << 8) | ssss);
+                for (uint32_t j = 0; j < span; j++) lut[base + j] = entry;
+                code++;
+            }
+            code <<= 1;
+        }
+        return true;
+    }
+
+    inline int decode(BitReader& br) const {
+        uint32_t idx = br.peek(16);
+        uint16_t e = lut[idx];
+        if (e == 0xFFFF) return -1;
+        br.skip(e >> 8);
+        return e & 0xFF;
+    }
+};
+
+inline int extend(uint32_t v, int t) {
+    // T.81 EXTEND: map t-bit magnitude to signed difference
+    if (t == 0) return 0;
+    if (t == 16) return 32768;  // special case: diff = 32768, no extra bits
+    int vt = 1 << (t - 1);
+    int x = (int)v;
+    if (x < vt) x += (-1 << t) + 1;
+    return x;
+}
+
+inline uint16_t be16(const uint8_t* p) { return (uint16_t)((p[0] << 8) | p[1]); }
+
+}  // namespace
+
+extern "C" {
+
+// returns 0 ok, <0 error. out must hold width*height*ncomp u16.
+// width/height/bits/ncomp written to dims[0..3].
+int lj92_decode_buf(const uint8_t* data, size_t len, uint16_t* out, size_t out_cap,
+                    int* dims) {
+    // find SOI
+    size_t ix = 0;
+    while (ix + 1 < len && !(data[ix] == 0xFF && data[ix + 1] == 0xD8)) ix++;
+    if (ix + 1 >= len) return -1;
+    ix += 2;
+
+    Huff huff[4];
+    bool have_huff[4] = {false, false, false, false};
+    int bits = 0, h = 0, w = 0, ncomp = 0;
+    int comp_table[4] = {0, 0, 0, 0};
+    int pred = 1;
+    size_t scan_data = 0;
+
+    while (ix + 3 < len) {
+        if (data[ix] != 0xFF) return -2;
+        uint8_t marker = data[ix + 1];
+        if (marker == 0xD9) break;  // EOI
+        uint16_t seglen = be16(data + ix + 2);
+        const uint8_t* seg = data + ix + 2;
+        if (marker == 0xC4) {  // DHT — may hold several tables
+            size_t p = 2;
+            while (p + 17 <= seglen) {
+                int id = seg[p] & 0x0F;
+                const uint8_t* counts = seg + p + 1;
+                int nsym = 0;
+                for (int i = 0; i < 16; i++) nsym += counts[i];
+                if (p + 17 + nsym > (size_t)seglen || id > 3) return -3;
+                if (!huff[id].build(counts, seg + p + 17, nsym)) return -3;
+                have_huff[id] = true;
+                p += 17 + nsym;
+            }
+        } else if (marker == 0xC3) {  // SOF3
+            bits = seg[2];
+            h = be16(seg + 3);
+            w = be16(seg + 5);
+            ncomp = seg[7];
+            if (ncomp < 1 || ncomp > 4) return -4;
+        } else if (marker == 0xDA) {  // SOS
+            int ns = seg[2];
+            for (int i = 0; i < ns && i < 4; i++) comp_table[i] = seg[4 + 2 * i] >> 4;
+            pred = seg[3 + 2 * ns];
+            scan_data = ix + 2 + seglen;
+            break;
+        }
+        ix += 2 + seglen;
+    }
+    if (!scan_data || !w || !h || !ncomp) return -5;
+    if ((size_t)w * h * ncomp > out_cap) return -6;
+    for (int c = 0; c < ncomp; c++)
+        if (!have_huff[comp_table[c]]) return -3;
+
+    dims[0] = w;
+    dims[1] = h;
+    dims[2] = bits;
+    dims[3] = ncomp;
+
+    BitReader br(data + scan_data, len - scan_data);
+    int rowlen = w * ncomp;
+    std::vector<int> prevrow(rowlen), currow(rowlen);
+    int defaultval = 1 << (bits - 1);
+
+    for (int y = 0; y < h; y++) {
+        for (int x = 0; x < w; x++) {
+            for (int c = 0; c < ncomp; c++) {
+                int t = huff[comp_table[c]].decode(br);
+                if (t < 0) return -7;
+                uint32_t extra = t && t != 16 ? br.peek(t) : 0;
+                if (t && t != 16) br.skip(t);
+                int diff = extend(extra, t);
+                int px;
+                int i = x * ncomp + c;
+                if (y == 0 && x == 0)
+                    px = defaultval;
+                else if (y == 0)
+                    px = currow[i - ncomp];  // first row: left
+                else if (x == 0)
+                    px = prevrow[i];  // first column: above
+                else {
+                    int left = currow[i - ncomp];
+                    int above = prevrow[i];
+                    int aleft = prevrow[i - ncomp];
+                    switch (pred) {
+                        case 0: px = 0; break;
+                        case 1: px = left; break;
+                        case 2: px = above; break;
+                        case 3: px = aleft; break;
+                        case 4: px = left + above - aleft; break;
+                        case 5: px = left + ((above - aleft) >> 1); break;
+                        case 6: px = above + ((left - aleft) >> 1); break;
+                        case 7: px = (left + above) >> 1; break;
+                        default: return -8;
+                    }
+                }
+                int val = (px + diff) & 0xFFFF;
+                currow[i] = val;
+                out[(size_t)y * rowlen + i] = (uint16_t)val;
+            }
+        }
+        std::swap(prevrow, currow);
+    }
+    return 0;
+}
+
+namespace {
+
+struct BitWriter {
+    std::vector<uint8_t>& buf;
+    uint64_t bits = 0;
+    int nbits = 0;
+    explicit BitWriter(std::vector<uint8_t>& b) : buf(b) {}
+
+    inline void put(uint32_t value, int n) {
+        bits |= (uint64_t)(value & ((1u << n) - 1)) << (64 - nbits - n);
+        nbits += n;
+        while (nbits >= 8) {
+            uint8_t byte = (uint8_t)(bits >> 56);
+            buf.push_back(byte);
+            if (byte == 0xFF) buf.push_back(0x00);  // byte stuffing
+            bits <<= 8;
+            nbits -= 8;
+        }
+    }
+
+    void flush() {
+        if (nbits > 0) {
+            uint8_t byte = (uint8_t)((bits >> 56) | ((1u << (8 - nbits)) - 1));  // pad 1s
+            buf.push_back(byte);
+            if (byte == 0xFF) buf.push_back(0x00);
+            bits = 0;
+            nbits = 0;
+        }
+    }
+};
+
+inline int ssss_of(int diff) {
+    uint32_t a = diff < 0 ? -diff : diff;
+    int s = 0;
+    while (a) {
+        a >>= 1;
+        s++;
+    }
+    return s;
+}
+
+}  // namespace
+
+// Encode width x height x ncomp (interleaved) u16 samples as SOF3 predictor-1
+// lossless JPEG. Returns encoded size, or <0 on error. Caller provides a
+// buffer; required worst case ~ n_samples*3 + 64.
+long lj92_encode_buf(const uint16_t* img, int width, int height, int ncomp, int bits,
+                     uint8_t* out, size_t out_cap) {
+    if (ncomp < 1 || ncomp > 4 || bits < 2 || bits > 16) return -1;
+    size_t n = (size_t)width * height * ncomp;
+    int rowlen = width * ncomp;
+    int defaultval = 1 << (bits - 1);
+
+    // pass 1: differences + SSSS histogram
+    std::vector<int16_t> ssss(n);
+    std::vector<int32_t> diffs(n);
+    size_t hist[17] = {0};
+    for (int y = 0; y < height; y++) {
+        const uint16_t* row = img + (size_t)y * rowlen;
+        const uint16_t* prev = img + (size_t)(y - 1) * rowlen;
+        for (int i = 0; i < rowlen; i++) {
+            int px;
+            if (y == 0 && i < ncomp)
+                px = defaultval;
+            else if (y == 0)
+                px = row[i - ncomp];
+            else if (i < ncomp)
+                px = prev[i];
+            else
+                px = row[i - ncomp];
+            int diff = (int)row[i] - px;
+            // reduce modulo 2^16 into [-32768, 32767] (T.81 H.1.2.1)
+            diff = (int16_t)diff;
+            int s = ssss_of(diff);
+            size_t idx = (size_t)y * rowlen + i;
+            diffs[idx] = diff;
+            ssss[idx] = (int16_t)s;
+            hist[s]++;
+        }
+    }
+
+    // canonical Huffman code from the histogram (package-merge is overkill:
+    // 17 symbols; use simple length-limited construction via sorted freq)
+    // Build optimal prefix code with lengths <= 16 using Huffman algorithm.
+    struct Node {
+        size_t freq;
+        int sym;  // -1 internal
+        int l, r;
+    };
+    std::vector<Node> nodes;
+    std::vector<int> active;
+    for (int sIdx = 0; sIdx <= 16; sIdx++) {
+        if (hist[sIdx]) {
+            nodes.push_back({hist[sIdx], sIdx, -1, -1});
+            active.push_back((int)nodes.size() - 1);
+        }
+    }
+    if (active.empty()) {
+        nodes.push_back({1, 0, -1, -1});
+        active.push_back(0);
+    }
+    if (active.size() == 1) {  // need at least 1-bit codes
+        nodes.push_back({0, (nodes[active[0]].sym + 1) % 17, -1, -1});
+        active.push_back((int)nodes.size() - 1);
+    }
+    while (active.size() > 1) {
+        // find two smallest
+        int a = 0, b = 1;
+        if (nodes[active[b]].freq < nodes[active[a]].freq) std::swap(a, b);
+        for (size_t i = 2; i < active.size(); i++) {
+            if (nodes[active[i]].freq < nodes[active[a]].freq) {
+                b = a;
+                a = (int)i;
+            } else if (nodes[active[i]].freq < nodes[active[b]].freq) {
+                b = (int)i;
+            }
+        }
+        if (a > b) std::swap(a, b);
+        Node parent{nodes[active[a]].freq + nodes[active[b]].freq, -1, active[a], active[b]};
+        nodes.push_back(parent);
+        active[a] = (int)nodes.size() - 1;
+        active.erase(active.begin() + b);
+    }
+    // depths
+    uint8_t codelen[17] = {0};
+    struct StackE {
+        int node;
+        int depth;
+    };
+    std::vector<StackE> stack{{active[0], 0}};
+    int maxdepth = 0;
+    while (!stack.empty()) {
+        StackE e = stack.back();
+        stack.pop_back();
+        const Node& nd = nodes[e.node];
+        if (nd.sym >= 0) {
+            codelen[nd.sym] = (uint8_t)(e.depth ? e.depth : 1);
+            if (codelen[nd.sym] > maxdepth) maxdepth = codelen[nd.sym];
+        } else {
+            stack.push_back({nd.l, e.depth + 1});
+            stack.push_back({nd.r, e.depth + 1});
+        }
+    }
+    if (maxdepth > 16) {
+        // flatten: fall back to fixed 5-bit-ish lengths (rare, tiny images)
+        for (int sIdx = 0; sIdx <= 16; sIdx++) codelen[sIdx] = hist[sIdx] ? 5 : 0;
+        // ensure prefix feasibility below via canonical assignment by length
+    }
+
+    // canonical assignment ordered by (length, symbol)
+    uint8_t counts[16] = {0};
+    uint8_t symbols[17];
+    int nsym = 0;
+    for (int lenv = 1; lenv <= 16; lenv++)
+        for (int sIdx = 0; sIdx <= 16; sIdx++)
+            if (codelen[sIdx] == lenv) {
+                counts[lenv - 1]++;
+                symbols[nsym++] = (uint8_t)sIdx;
+            }
+    // JPEG forbids the all-ones code of max length; the classic fix is to
+    // bump one symbol deeper. Simpler: ensure no code is all-ones by adding
+    // a dummy longest code when the code space is exactly full.
+    // Compute code space usage:
+    {
+        long space = 0;
+        for (int lenv = 1; lenv <= 16; lenv++) space += (long)counts[lenv - 1] << (16 - lenv);
+        if (space >= (1 << 16) && counts[15] < 255 && nsym < 17) {
+            // push: find the longest length with a code and demote code space
+            // by adding one more bit to one symbol (standard Adobe approach)
+            for (int lenv = 16; lenv >= 1; lenv--) {
+                if (counts[lenv - 1] > 0 && lenv < 16) {
+                    counts[lenv - 1]--;
+                    counts[lenv]++;
+                    break;
+                }
+            }
+        }
+    }
+
+    uint16_t codes[17];
+    uint8_t lens[17];
+    {
+        uint8_t bylen[17][17];
+        uint8_t cnt[17] = {0};
+        int k = 0;
+        for (int lenv = 1; lenv <= 16; lenv++)
+            for (int i = 0; i < counts[lenv - 1]; i++) bylen[lenv][cnt[lenv]++] = symbols[k++];
+        uint32_t code = 0;
+        for (int sIdx = 0; sIdx <= 16; sIdx++) lens[sIdx] = 0;
+        for (int lenv = 1; lenv <= 16; lenv++) {
+            for (int i = 0; i < cnt[lenv]; i++) {
+                codes[bylen[lenv][i]] = (uint16_t)code;
+                lens[bylen[lenv][i]] = (uint8_t)lenv;
+                code++;
+            }
+            code <<= 1;
+        }
+    }
+
+    // emit headers
+    std::vector<uint8_t> buf;
+    buf.reserve(n + 1024);
+    auto push16 = [&](uint16_t v) {
+        buf.push_back((uint8_t)(v >> 8));
+        buf.push_back((uint8_t)v);
+    };
+    buf.push_back(0xFF);
+    buf.push_back(0xD8);  // SOI
+    buf.push_back(0xFF);
+    buf.push_back(0xC4);  // DHT
+    push16((uint16_t)(2 + 1 + 16 + nsym));
+    buf.push_back(0x00);  // table id 0
+    for (int i = 0; i < 16; i++) buf.push_back(counts[i]);
+    {
+        int k = 0;
+        for (int lenv = 1; lenv <= 16; lenv++)
+            for (int sIdx = 0; sIdx <= 16; sIdx++)
+                if (lens[sIdx] == lenv) buf.push_back((uint8_t)sIdx), k++;
+    }
+    buf.push_back(0xFF);
+    buf.push_back(0xC3);  // SOF3
+    push16((uint16_t)(8 + 3 * ncomp));
+    buf.push_back((uint8_t)bits);
+    push16((uint16_t)height);
+    push16((uint16_t)width);
+    buf.push_back((uint8_t)ncomp);
+    for (int c = 0; c < ncomp; c++) {
+        buf.push_back((uint8_t)c);
+        buf.push_back(0x11);  // 1x1 sampling
+        buf.push_back(0x00);
+    }
+    buf.push_back(0xFF);
+    buf.push_back(0xDA);  // SOS
+    push16((uint16_t)(6 + 2 * ncomp));
+    buf.push_back((uint8_t)ncomp);
+    for (int c = 0; c < ncomp; c++) {
+        buf.push_back((uint8_t)c);
+        buf.push_back(0x00);  // DC table 0
+    }
+    buf.push_back(0x01);  // predictor 1
+    buf.push_back(0x00);
+    buf.push_back(0x00);
+
+    // entropy-coded data
+    BitWriter bw(buf);
+    for (size_t i = 0; i < n; i++) {
+        int s = ssss[i];
+        bw.put(codes[s], lens[s]);
+        if (s && s != 16) {
+            int diff = diffs[i];
+            uint32_t v = diff >= 0 ? (uint32_t)diff : (uint32_t)(diff + (1 << s) - 1);
+            bw.put(v, s);
+        }
+    }
+    bw.flush();
+    buf.push_back(0xFF);
+    buf.push_back(0xD9);  // EOI
+
+    if (buf.size() > out_cap) return -2;
+    memcpy(out, buf.data(), buf.size());
+    return (long)buf.size();
+}
+
+}  // extern "C"

@@ -80,11 +80,11 @@ class ClipConverter:
                 raw = dec.decompress(props + b"\xff" * 8 + body, max_length=out_size)
                 out[bi] = np.frombuffer(raw, "<u2", h * w).reshape(h, w)
             elif comp == "lj92":
-                from ..codecs.lj92 import decode as lj92_decode
+                from ..codecs import lj92 as lj92_codec
 
-                img = lj92_decode(payload[4:].tobytes())
+                samples, _, _, _, _ = lj92_codec.decode(payload[4:].tobytes())
                 out[bi] = np.asarray(
-                    unpack_ops.lj92_detile(jnp.asarray(img.reshape(h, w)))
+                    unpack_ops.lj92_detile(jnp.asarray(samples.reshape(h, w)))
                 )
             else:
                 raise ValueError(f"unknown compression {comp}")
@@ -170,10 +170,19 @@ class ClipConverter:
             for bi, i in enumerate(indices):
                 fh = clip.frame_headers(i)
                 self._apply_info(fh, info, bi)
-                header = dng_emit.build_dng_header(fh, cfg.fps, basename)
                 name = dng_frame_name(basename, i, name_scheme=cfg.name_scheme)
                 path = os.path.join(outdir, name)
-                pending.append(self._write_pool.submit(self._write_dng, path, header, imgs_np[bi]))
+                if cfg.compress == "lj92":
+                    pending.append(
+                        self._write_pool.submit(
+                            self._write_dng_lj92, path, fh, cfg.fps, basename, imgs_np[bi]
+                        )
+                    )
+                else:
+                    header = dng_emit.build_dng_header(fh, cfg.fps, basename)
+                    pending.append(
+                        self._write_pool.submit(self._write_dng, path, header, imgs_np[bi])
+                    )
                 paths.append(path)
             if progress:
                 progress(min(start + cfg.batch_size, len(frames)), len(frames))
@@ -187,6 +196,21 @@ class ClipConverter:
         with open(tmp, "wb") as f:
             f.write(header)
             f.write(img.tobytes())
+        os.replace(tmp, path)
+
+    @staticmethod
+    def _write_dng_lj92(path: str, fh, fps: float, basename: str, img: np.ndarray):
+        """Lossless-compressed DNG: 2-component SOF3 strip (Compression=7)."""
+        from ..codecs import lj92 as lj92_codec
+
+        strip = lj92_codec.encode_bayer_dng_strip(img, bits=16)
+        header = dng_emit.build_dng_header(
+            fh, fps, basename, compression="lj92", strip_byte_count=len(strip)
+        )
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(header)
+            f.write(strip)
         os.replace(tmp, path)
 
     def _apply_info(self, fh, info, bi):

@@ -236,3 +236,33 @@ def amaze(raw01: np.ndarray):
         w, h, stride,
     )
     return r[:, :w], g[:, :w], b[:, :w]
+
+
+def lj92_decode(data: bytes, max_pixels: int = 1 << 26):
+    """Reference LJ92 decoder (lj92_open/lj92_decode)."""
+    buf = np.frombuffer(data, np.uint8)
+    out = np.zeros(max_pixels, np.uint16)
+    dims = (ctypes.c_int * 3)()
+    rc = lib().oracle_lj92_decode(
+        buf.ctypes.data_as(ctypes.c_void_p), len(buf),
+        out.ctypes.data_as(ctypes.c_void_p), max_pixels, dims,
+    )
+    if rc != 0:
+        raise ValueError(f"reference lj92 decode failed ({rc})")
+    w, h, bits = dims[0], dims[1], dims[2]
+    return out[: w * h].reshape(h, w).copy(), w, h, bits
+
+
+def lj92_encode(img: np.ndarray, bitdepth: int = 16) -> bytes:
+    """Reference LJ92 encoder (lj92_encode, shipped-but-unused in MLVFS)."""
+    img = np.ascontiguousarray(img, np.uint16)
+    h, w = img.shape
+    cap = img.nbytes * 3 + 4096
+    out = np.empty(cap, np.uint8)
+    n = lib().oracle_lj92_encode(
+        img.ctypes.data_as(ctypes.c_void_p), w, h, bitdepth,
+        out.ctypes.data_as(ctypes.c_void_p), cap,
+    )
+    if n < 0:
+        raise ValueError(f"reference lj92 encode failed ({n})")
+    return out[:n].tobytes()

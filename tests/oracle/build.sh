@@ -9,6 +9,6 @@ cc -O2 -fPIC -shared -o "$OUT" \
     -I"$REF" -I"$(dirname "$0")" \
     "$(dirname "$0")/shim.c" \
     "$REF/dng.c" "$REF/hdr.c" "$REF/cs.c" "$REF/stripes.c" \
-    "$REF/patternnoise.c" "$REF/histogram.c" "$REF/amaze_demosaic_RT.c" \
+    "$REF/patternnoise.c" "$REF/histogram.c" "$REF/amaze_demosaic_RT.c" "$REF/lj92.c" \
     -lm -lpthread
 echo "built $OUT"

@@ -184,3 +184,33 @@ void oracle_amaze(float * raw_flat, float * r_flat, float * g_flat, float * b_fl
     amaze_demosaic_RT(rows_raw, rows_r, rows_g, rows_b, 0, 0, w, h);
     free(rows_raw); free(rows_r); free(rows_g); free(rows_b);
 }
+
+/* reference LJ92 decoder, for interop tests of our encoder/decoder */
+#include "lj92.h"
+int oracle_lj92_decode(uint8_t * data, int datalen, uint16_t * out, int out_pixels,
+                       int * dims)
+{
+    lj92 handle;
+    int w = 0, h = 0, bits = 0;
+    int ret = lj92_open(&handle, data, datalen, &w, &h, &bits);
+    if (ret != LJ92_ERROR_NONE) return ret;
+    dims[0] = w; dims[1] = h; dims[2] = bits;
+    if (w * h > out_pixels) { lj92_close(handle); return -100; }
+    ret = lj92_decode(handle, out, w * h, 0, NULL, 0);
+    lj92_close(handle);
+    return ret;
+}
+
+int oracle_lj92_encode(uint16_t * img, int width, int height, int bitdepth,
+                       uint8_t * out, int out_cap)
+{
+    uint8_t * encoded = NULL;
+    int enclen = 0;
+    int ret = lj92_encode(img, width, height, bitdepth, width * height, 0, NULL, 0,
+                          &encoded, &enclen);
+    if (ret != LJ92_ERROR_NONE) return -1;
+    if (enclen > out_cap) { free(encoded); return -2; }
+    memcpy(out, encoded, enclen);
+    free(encoded);
+    return enclen;
+}
