@@ -55,6 +55,7 @@ def _add_processing_flags(p: argparse.ArgumentParser):
         action="store_true",
         help="Write lossless-compressed (LJ92) DNGs instead of uncompressed",
     )
+    p.add_argument("-v", "--verbose", action="store_true", help="Per-stage timing report + debug logs")
 
 
 def config_from_args(args) -> ProcessingConfig:
@@ -95,6 +96,10 @@ def _iter_clips(path: str):
 def cmd_convert(args) -> int:
     from .pipeline.convert import convert_clip
 
+    if getattr(args, "verbose", False):
+        from .utils import log as _log
+
+        _log.setLevel("DEBUG")
     config = config_from_args(args)
     src = args.mlv_dir or args.input
     if not src:
@@ -117,6 +122,11 @@ def cmd_convert(args) -> int:
         total_frames += len(paths)
     dt = time.time() - t0
     print(f"done: {total_frames} frames in {dt:.2f}s ({total_frames / max(dt, 1e-9):.1f} fps)")
+    if getattr(args, "verbose", False):
+        from .utils import metrics
+
+        print("per-stage breakdown:")
+        print(metrics.report())
     return 0
 
 

@@ -449,6 +449,18 @@ def cr2hdr20_batch(imgs, fh, cfg, cal):
         overlap -= min(3.0, overlap - 3.0)
         if overlap < 0.5:
             continue
+        from ..utils import log
+
+        log.debug(
+            "dual-ISO frame %d: pattern %s %s, whites %d/%d, ISO diff %.2f EV, overlap %.1f EV",
+            i,
+            "".join("B" if b_ else "d" for b_ in is_bright),
+            "RGGB" if rggb else "GBRG",
+            wdark,
+            wbright,
+            fit.corr_ev,
+            overlap,
+        )
         ok[i] = True
         ib = np.array(is_bright, bool)
         row_bright[i] = ib[ys % 4]

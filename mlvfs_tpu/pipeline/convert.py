@@ -162,11 +162,18 @@ class ClipConverter:
         frames = list(range(clip.frame_count)) if frames is None else list(frames)
         paths = []
         pending = []
+        from ..utils import StageTimer, metrics
+
         for start in range(0, len(frames), cfg.batch_size):
             indices = frames[start : start + cfg.batch_size]
-            imgs = self.decode_batch(indices)
-            imgs, info = self.process_batch(imgs, indices)
-            imgs_np = np.asarray(jax.device_get(imgs), "<u2")
+            with StageTimer("decode"):
+                imgs = self.decode_batch(indices)
+            with StageTimer("process"):
+                imgs, info = self.process_batch(imgs, indices)
+            with StageTimer("readback"):
+                imgs_np = np.asarray(jax.device_get(imgs), "<u2")
+            metrics.count("frames", len(indices))
+            metrics.count("bytes_out", int(imgs_np.nbytes))
             for bi, i in enumerate(indices):
                 fh = clip.frame_headers(i)
                 self._apply_info(fh, info, bi)

@@ -1,0 +1,114 @@
+"""Virtual filesystem + web dashboard."""
+
+import json
+import os
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+from mlvfs_tpu.format import synth
+from mlvfs_tpu.pipeline.config import ProcessingConfig
+from mlvfs_tpu.vfs import VirtualFS, ResourceManager
+from mlvfs_tpu.emit.dng import HEADER_SIZE
+
+
+@pytest.fixture
+def mlv_dir(tmp_path):
+    d = tmp_path / "clips"
+    d.mkdir()
+    synth.write_mlv(str(d / "M01-0001.MLV"), width=128, height=32, frames=3, audio=True, debug_log="log1\n")
+    synth.write_mlv(str(d / "M02-0002.MLV"), width=128, height=32, frames=2, seed=5)
+    (d / "notes.txt").write_text("hello")
+    mld = d / "M01-0001.MLD"
+    mld.mkdir()
+    (mld / "sidecar.xmp").write_text("<xmp/>")
+    return str(d)
+
+
+def test_root_listing(mlv_dir):
+    fs = VirtualFS(mlv_dir)
+    names = fs.listdir("/")
+    assert "M01-0001.MLV" in names and "M02-0002.MLV" in names
+    assert "notes.txt" in names
+
+
+def test_clip_listing(mlv_dir):
+    fs = VirtualFS(mlv_dir)
+    names = fs.listdir("/M01-0001.MLV")
+    assert "M01-0001_000000.dng" in names and "M01-0001_000002.dng" in names
+    assert "M01-0001.wav" in names
+    assert "M01-0001.log" in names
+    assert "M01-0001_PREVIEW.gif" in names
+    assert "sidecar.xmp" in names  # .MLD passthrough
+    # clip without audio
+    names2 = fs.listdir("/M02-0002.MLV")
+    assert not any(n.endswith(".wav") for n in names2)
+
+
+def test_getattr_and_read(mlv_dir):
+    fs = VirtualFS(mlv_dir)
+    is_dir, size = fs.getattr("/M01-0001.MLV")
+    assert is_dir
+    is_dir, size = fs.getattr("/M01-0001.MLV/M01-0001_000001.dng")
+    assert not is_dir and size == HEADER_SIZE + 128 * 32 * 2
+    data = fs.read("/M01-0001.MLV/M01-0001_000001.dng")
+    assert len(data) == size
+    assert data[:4] == b"II\x2a\x00"
+    # sliced read equals whole-file slice (the FUSE read contract)
+    part = fs.read("/M01-0001.MLV/M01-0001_000001.dng", offset=HEADER_SIZE + 10, size=64)
+    assert part == data[HEADER_SIZE + 10 : HEADER_SIZE + 74]
+    assert fs.read("/M01-0001.MLV/M01-0001.log") == b"log1\n"
+    assert fs.read("/M01-0001.MLV/sidecar.xmp") == b"<xmp/>"
+    assert fs.read("/notes.txt") == b"hello"
+
+
+def test_resolve_naming_scheme(mlv_dir):
+    fs = VirtualFS(mlv_dir, ProcessingConfig(name_scheme=1, batch_size=1))
+    names = fs.listdir("/")
+    resolve_dirs = [n for n in names if "MLV_1_" in n]
+    assert len(resolve_dirs) == 2
+    # the resolve-named directory resolves back to the clip
+    sub = fs.listdir("/" + resolve_dirs[0])
+    assert any(n.endswith("_000000.dng") for n in sub)
+
+
+def test_resource_manager_eviction():
+    rm = ResourceManager()
+    builds = []
+    for i in range(30):
+        key = f"k{i}"
+        rm.get_or_create(key, lambda i=i: builds.append(i) or bytes([i]))
+        rm.release(key)
+    assert len(rm._order) <= ResourceManager.MAX_UNUSED
+    # rebuilding an evicted entry works
+    v = rm.get_or_create("k0", lambda: b"rebuilt")
+    assert v == b"rebuilt"
+
+
+def test_dashboard_endpoints(mlv_dir):
+    from mlvfs_tpu.server import Dashboard, make_handler
+    from http.server import ThreadingHTTPServer
+
+    dash = Dashboard(mlv_dir)
+    server = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(dash))
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{port}"
+        vals = json.loads(urllib.request.urlopen(f"{base}/get_value").read())
+        assert vals["chroma_smooth"] == 0
+        urllib.request.urlopen(f"{base}/set_value?chroma_smooth=3")
+        vals = json.loads(urllib.request.urlopen(f"{base}/get_value").read())
+        assert vals["chroma_smooth"] == 3
+        page = urllib.request.urlopen(f"{base}/").read().decode()
+        assert "M01-0001.MLV" in page and "128x32" in page
+        row = urllib.request.urlopen(f"{base}/M02-0002.MLV_ROWDATA.html").read().decode()
+        assert "M02-0002.MLV" in row
+        gif = urllib.request.urlopen(f"{base}/M01-0001.MLV_PREVIEW.gif").read()
+        assert gif[:6] == b"GIF89a"
+    finally:
+        server.shutdown()
+        server.server_close()
