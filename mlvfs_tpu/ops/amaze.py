@@ -84,9 +84,8 @@ def amaze_edge_interpolate(
     ev2raw_at,
     row_bright,
     s,
-    lut,
-    ev2raw0,
-    frcurve,
+    ev_of,
+    frcurve_of,
     white_darkened,
     *,
     black20: int,
@@ -101,7 +100,9 @@ def amaze_edge_interpolate(
     xx = jnp.arange(w)[None, :]
     green_site = (xx % 2) != (yy % 2)
     scaled = jnp.where(green_site, _tdiv(raw - black20, 2) + black20, raw)
-    sq_img = jnp.zeros((h, w), jnp.float32).at[squeezed, :].set(scaled.astype(jnp.float32))
+    # scatter rows via the inverse permutation (gathers are cheaper on TPU)
+    inv = jnp.zeros(h, jnp.int32).at[squeezed].set(jnp.arange(h, dtype=jnp.int32))
+    sq_img = scaled.astype(jnp.float32)[inv]
 
     red, grn, blu = amaze_demosaic(sq_img)
 
@@ -117,28 +118,39 @@ def amaze_edge_interpolate(
 
     # grayscale in original coordinates (hdr.c:1059-1062), trunc to int
     gray = (U_g / 2.0 + U_r / 4.0 + U_b / 4.0).astype(jnp.int32)
-    evgray = lut[jnp.clip(gray, 0, lut.shape[0] - 1)]
+    evgray = ev_of(gray)
 
     # ---- edge direction scoring (hdr.c:1094-1175) -------------------------
-    fc = frcurve[raw & 0xFFFFF]
+    # Reformulated for the VPU: each direction's 11-offset search
+    #   e_d = sum_j |P1(j)-P2(j)| + |P2(j)-P3(j)| + |P3(j)-P4(j)|
+    # is three absolute-difference arrays box-filtered over j — computed with
+    # one cumulative sum per difference instead of 11x4 taps per direction.
+    fc = frcurve_of(raw)
     rb2 = row_bright[:, None]
     # restricted pixels use only the vertical direction d0 (hdr.c:1105-1133)
     restricted = jnp.where(rb2, raw < white_darkened, fc > FULLRES_THR)
 
-    def tap(dx, dy_units):
-        # offsets are (x, y) with y premultiplied by s
-        return _srow_shift(evgray, s * np.sign(dy_units), abs(dy_units), dx)
+    # the four row classes used by the direction table: y + {2s, s, -2s, -3s}
+    T = {
+        2: _srow_shift(evgray, s, 2, 0),
+        1: _srow_shift(evgray, s, 1, 0),
+        -2: _srow_shift(evgray, -s, 2, 0),
+        -3: _srow_shift(evgray, -s, 3, 0),
+    }
+
+    def box11(d):
+        c = jnp.cumsum(d, axis=-1)
+        # sum_{j=-5..5} d(x+j) = c(x+5) - c(x-6); int32 wraparound is exact
+        return _sh(c, 0, SEARCH_AREA) - _sh(c, 0, -SEARCH_AREA - 1)
 
     e_all = []
     for (ack, a, b, bck) in EDGE_DIRECTIONS:
-        e = jnp.zeros_like(evgray)
-        for j in range(-SEARCH_AREA, SEARCH_AREA + 1):
-            p1 = tap(ack[0] + j, ack[1])
-            p2 = tap(a[0] + j, a[1])
-            p3 = tap(b[0] + j, b[1])
-            p4 = tap(bck[0] + j, bck[1])
-            e = e + jnp.abs(p1 - p2) + jnp.abs(p2 - p3) + jnp.abs(p3 - p4)
-        e_all.append(e)
+        p1 = _sh(T[ack[1]], 0, ack[0])
+        p2 = _sh(T[a[1]], 0, a[0])
+        p3 = _sh(T[b[1]], 0, b[0])
+        p4 = _sh(T[bck[1]], 0, bck[0])
+        d = jnp.abs(p1 - p2) + jnp.abs(p2 - p3) + jnp.abs(p3 - p4)
+        e_all.append(box11(d))
     e_stack = jnp.stack(e_all)  # (12, h, w)
     penalty = jnp.asarray(
         [abs(d - D0) * EV_RESOLUTION // 8 for d in range(len(EDGE_DIRECTIONS))], jnp.int32
@@ -151,28 +163,43 @@ def amaze_edge_interpolate(
     d_best = jnp.where(window, d_best, D0)
 
     # ---- edge-directed interpolation (hdr.c:1182-1210) --------------------
-    # plane of each pixel = its Bayer color
-    def plane_sel(dy_units, dx):
-        r = _srow_shift(U_r, s * np.sign(dy_units), abs(dy_units), dx)
-        g = _srow_shift(U_g, s * np.sign(dy_units), abs(dy_units), dx)
-        b = _srow_shift(U_b, s * np.sign(dy_units), abs(dy_units), dx)
-        red_mask = (yy % 2 == 0) & (xx % 2 == 0)
-        blue_mask = (yy % 2 == 1) & (xx % 2 == 1)
-        return jnp.where(red_mask, r, jnp.where(blue_mask, b, g))
+    # plane of each pixel = its Bayer color; the EV transform commutes with
+    # column shifts, so select + row-shift + EV once per row class, then each
+    # direction is two lane shifts and an integer mean
+    red_mask = (yy % 2 == 0) & (xx % 2 == 0)
+    blue_mask = (yy % 2 == 1) & (xx % 2 == 1)
+
+    def ev_class(dy_units):
+        sel = [
+            _srow_shift(U, s * np.sign(dy_units), abs(dy_units), 0)
+            for U in (U_r, U_g, U_b)
+        ]
+        v = jnp.where(red_mask, sel[0], jnp.where(blue_mask, sel[2], sel[1]))
+        return ev_of(jnp.clip(jnp.trunc(v), 0, 0xFFFFF).astype(jnp.int32))
+
+    EW_a = ev_class(1)    # 'a' taps are always at y + s
+    EW_b = ev_class(-2)   # 'b' taps are always at y - 2s
 
     pi_all = []
     for (ack, a, b, bck) in EDGE_DIRECTIONS:
-        pa = jnp.clip(jnp.trunc(plane_sel(a[1], a[0])), 0, 0xFFFFF).astype(jnp.int32)
-        pb = jnp.clip(jnp.trunc(plane_sel(b[1], b[0])), 0, 0xFFFFF).astype(jnp.int32)
-        eva = lut[pa]
-        evb = lut[pb]
+        eva = _sh(EW_a, 0, a[0])
+        evb = _sh(EW_b, 0, b[0])
         pi_all.append(_tdiv(eva * 2 + evb, 3))
     pi_stack = jnp.stack(pi_all)  # (12, h, w)
 
     nd = len(EDGE_DIRECTIONS)
-    pi0 = jnp.take_along_axis(pi_stack, d_best[None], axis=0)[0]
-    pip = jnp.take_along_axis(pi_stack, jnp.minimum(d_best + 1, nd - 1)[None], axis=0)[0]
-    pim = jnp.take_along_axis(pi_stack, jnp.maximum(d_best - 1, 0)[None], axis=0)[0]
+
+    def pick(idx):
+        # per-pixel gather over the direction axis as a select chain —
+        # take_along_axis lowers to a serialized gather on TPU
+        acc = pi_stack[0]
+        for d in range(1, nd):
+            acc = jnp.where(idx == d, pi_stack[d], acc)
+        return acc
+
+    pi0 = pick(d_best)
+    pip = pick(jnp.minimum(d_best + 1, nd - 1))
+    pim = pick(jnp.maximum(d_best - 1, 0))
     interp_val = ev2raw_at(_tdiv(2 * pi0 + pip + pim, 4))
 
     region = (yy >= 2) & (yy <= h - 3) & (xx >= 2) & (xx <= w - 3)

@@ -448,105 +448,147 @@ def amaze_demosaic(raw: jnp.ndarray):
     return red[sl], gout[sl], blue[sl]
 
 
+def _chunk_rows(arr, T, tile=160, step=128):
+    """(hp, wp) → (T, tile, wp): overlapping row chunks on the reference's
+    tile grid (tile t covers padded rows [128t, 128t+160))."""
+    hp = arr.shape[0]
+    need = step * T + 32
+    if need > hp:
+        arr = jnp.pad(arr, ((0, need - hp), (0, 0)), mode="edge")
+    idx = (jnp.arange(T) * step)[:, None] + jnp.arange(tile)[None, :]
+    return arr[idx]
+
+
+def _unchunk_rows(out, hp, tile=160, step=128):
+    """Inverse of _chunk_rows keeping each tile's centre rows [16, 144)."""
+    first = out[0, :16]
+    mid = out[:, 16:144].reshape(-1, out.shape[-1])
+    last = out[-1, 144:]
+    return jnp.concatenate([first, mid, last], axis=0)[:hp]
+
+
+def _n_tiles(hp):
+    return max(1, -(-(hp - 32) // 128))
+
+
+def _replicate_rows_t(vals, r, wp):
+    """Cell replication for (T, wp) rows at padded row parity r % 2."""
+    site = (jnp.arange(wp) % 2) == (r % 2)
+    t = jnp.where(site[None, :], vals, 0)
+    c = t[:, 0::2] + t[:, 1::2]
+    return jnp.repeat(c, 2, axis=1)
+
+
 def _neighbor_refine_scan(wt, hp, wp):
     """In-place raster refinement: replace wt with the diagonal-neighbor mean
     when the neighbors are more decisive (amaze:1054-1058, :1280-1281).
 
-    Row y reads updated row y-1 and original row y+1.
+    Row y reads the updated row y-1 and the original row y+1. Chunked on the
+    reference's 160-row tile grid: the reference restarts this pass at every
+    tile, so chunks both match its semantics and run in parallel.
     """
-    wt_next = jnp.roll(wt, -1, 0)
+    T = _n_tiles(hp)
+    tiles = _chunk_rows(wt, T)               # (T, 160, wp)
+    tiles_next = _chunk_rows(jnp.roll(wt, -1, 0), T)
 
-    def step(prev_row, y):
-        old = wt[y]
-        nxt = wt_next[y]
-        # -m1/( -1,-1) and +p1/(-1,+1) read the updated row above;
-        # -p1/(+1,-1) and +m1/(+1,+1) the original row below
+    def step(prev_rows, xs):
+        old, nxt, r = xs                      # (T, wp), (T, wp), row index
         alt = 0.25 * (
-            jnp.roll(prev_row, 1) + jnp.roll(prev_row, -1) + jnp.roll(nxt, 1) + jnp.roll(nxt, -1)
+            jnp.roll(prev_rows, 1, -1)
+            + jnp.roll(prev_rows, -1, -1)
+            + jnp.roll(nxt, 1, -1)
+            + jnp.roll(nxt, -1, -1)
         )
         new = jnp.where(jnp.abs(0.5 - old) < jnp.abs(0.5 - alt), alt, old)
-        new = _replicate_row(new, y, wt.shape[1])
+        new = _replicate_rows_t(new, r, wp)
         return new, new
 
-    _, rows = jax.lax.scan(step, wt[0], jnp.arange(hp))
-    return rows
+    xs = (tiles.transpose(1, 0, 2), tiles_next.transpose(1, 0, 2), jnp.arange(160))
+    _, rows = jax.lax.scan(step, tiles[:, 0], xs)
+    return _unchunk_rows(rows.transpose(1, 0, 2), hp)
 
 
 def _nyquist_dilate(nyq, rbmask, hp, wp):
-    """Sequential majority-vote dilation (amaze:998-1010), exact raster
-    semantics: rows via lax.scan, the within-row chain on new[x-2] via an
+    """Sequential majority-vote dilation (amaze:998-1010): rows via lax.scan
+    over the 160-row tile chunks, the within-row chain on new[x-2] via an
     associative scan over 2-state transfer functions."""
-    old = nyq
-    old_d1 = jnp.roll(old, -1, 0)
-    old_d2 = jnp.roll(old, -2, 0)
+    T = _n_tiles(hp)
+    t_o = _chunk_rows(nyq, T).transpose(1, 0, 2)           # (160, T, wp)
+    t_d1 = _chunk_rows(jnp.roll(nyq, -1, 0), T).transpose(1, 0, 2)
+    t_d2 = _chunk_rows(jnp.roll(nyq, -2, 0), T).transpose(1, 0, 2)
 
-    def step(carry, y):
-        r2new, r1new = carry  # updated rows y-2, y-1 (full-res replicated)
-        o = old[y]
-        # known neighbor sum: rows above (new), self/right (old), rows below (old)
+    def step(carry, xs):
+        r2new, r1new = carry                   # (T, wp) updated rows y-2, y-1
+        o, d1, d2, r = xs
         K = (
             r2new
-            + jnp.roll(r1new, 1)
-            + jnp.roll(r1new, -1)
+            + jnp.roll(r1new, 1, -1)
+            + jnp.roll(r1new, -1, -1)
             + o
-            + jnp.roll(o, -2)
-            + jnp.roll(old_d1[y], 1)
-            + jnp.roll(old_d1[y], -1)
-            + old_d2[y]
+            + jnp.roll(o, -2, -1)
+            + jnp.roll(d1, 1, -1)
+            + jnp.roll(d1, -1, -1)
+            + d2
         )
-        # transfer function per cell: new = f(a) with a = new[x-2]
+        # transfer function per cell: new = f(a), a = new[x-2];
         # temp = a + K: >4 → 1, <4 → 0, ==4 → old
         f0 = jnp.where(K > 4, 1, jnp.where(K < 4, 0, o))
         f1 = jnp.where(K + 1 > 4, 1, jnp.where(K + 1 < 4, 0, o))
-        # pick the site pixel of each cell (K differs across the pair)
-        site = (jnp.arange(wp) % 2) == (y % 2)
-        f0c = jnp.where(site, f0, 0)[0::2] + jnp.where(site, f0, 0)[1::2]
-        f1c = jnp.where(site, f1, 0)[0::2] + jnp.where(site, f1, 0)[1::2]
+        site = (jnp.arange(wp) % 2) == (r % 2)
+        f0c = jnp.where(site[None], f0, 0)[:, 0::2] + jnp.where(site[None], f0, 0)[:, 1::2]
+        f1c = jnp.where(site[None], f1, 0)[:, 0::2] + jnp.where(site[None], f1, 0)[:, 1::2]
 
         def compose(a, b):
             a0, a1 = a
             b0, b1 = b
             return (jnp.where(a0 == 0, b0, b1), jnp.where(a1 == 0, b0, b1))
 
-        p0, p1 = jax.lax.associative_scan(compose, (f0c, f1c))
-        newc = p0  # chain seeded with a = 0 (pad region left of the frame)
-        new = jnp.repeat(newc, 2)
+        p0, _ = jax.lax.associative_scan(compose, (f0c, f1c), axis=1)
+        new = jnp.repeat(p0, 2, axis=1)  # chain seeded with a = 0 at tile left
         return (r1new, new), new
 
-    zero = jnp.zeros(wp, nyq.dtype)
-    _, rows = jax.lax.scan(step, (zero, zero), jnp.arange(hp))
-    return rows
+    zero = jnp.zeros((T, wp), nyq.dtype)
+    xs = (t_o, t_d1, t_d2, jnp.arange(160))
+    _, rows = jax.lax.scan(step, (zero, zero), xs)
+    return _unchunk_rows(rows.transpose(1, 0, 2), hp)
 
 
 def _chroma_smooth_scan(D0, D1, bsite, rbmask, hp, wp):
     """Directional chrominance interpolation, in-place raster semantics
     (amaze:1386-1398). At R sites updates plane 1 (G-B), at B sites plane 0.
-    Row y reads rows y-3, y-1 (updated) and y+1, y+3 (original)."""
-    planes = jnp.stack([D0, D1])  # (2, hp, wp)
-    rsite_row = (jnp.arange(hp) % 2) == 0  # R-site rows in RGGB
+    Row y reads rows y-3, y-1 (updated) and y+1, y+3 (original). Chunked on
+    the reference's tile grid like the other raster passes."""
+    T = _n_tiles(hp)
+    chunks = {}
+    for name, dy in (("o", 0), ("d1", 1), ("d3", 3)):
+        chunks[name] = jnp.stack(
+            [
+                _chunk_rows(jnp.roll(D0, -dy, 0), T).transpose(1, 0, 2),
+                _chunk_rows(jnp.roll(D1, -dy, 0), T).transpose(1, 0, 2),
+            ],
+            axis=1,
+        )  # (160, 2, T, wp)
 
-    def step(carry, y):
-        # carry: (2, 3, wp) = updated rows y-3, y-2, y-1 for both planes
-        newrows = carry
+    def step(carry, xs):
+        newrows = carry                        # (2, 3, T, wp): rows y-3..y-1
+        o, d1, d3, r = xs                      # o/d1/d3: (2, T, wp)
 
         def rd_new(p, dy, dx):
-            return jnp.roll(newrows[p, 3 + dy], -dx)
+            return jnp.roll(newrows[p, 3 + dy], -dx, -1)
 
-        def rd_old(p, dy, dx):
-            return jnp.roll(planes[p, jnp.clip(y + dy, 0, hp - 1)], -dx)
+        def rd_old_row(row, p, dx):
+            return jnp.roll(row[p], -dx, -1)
 
-        # plane updated on this row: R rows → plane 1, B rows → plane 0
-        c = jnp.where(rsite_row[y], 1, 0)
         outs = []
         for p in range(2):
             nm1 = rd_new(p, -1, -1)
             pp1 = rd_new(p, -1, 1)
             nm3 = rd_new(p, -3, -3)
             pp3 = rd_new(p, -3, 3)
-            om1 = rd_old(p, 1, 1)
-            op1 = rd_old(p, 1, -1)
-            om3 = rd_old(p, 3, 3)
-            op3 = rd_old(p, 3, -3)
+            om1 = rd_old_row(d1, p, 1)
+            op1 = rd_old_row(d1, p, -1)
+            om3 = rd_old_row(d3, p, 3)
+            op3 = rd_old_row(d3, p, -3)
             wtnw = 1.0 / (EPS + jnp.abs(nm1 - om1) + jnp.abs(nm1 - nm3) + jnp.abs(om1 - nm3))
             wtne = 1.0 / (EPS + jnp.abs(pp1 - op1) + jnp.abs(pp1 - pp3) + jnp.abs(op1 - pp3))
             wtsw = 1.0 / (EPS + jnp.abs(op1 - pp1) + jnp.abs(op1 - om3) + jnp.abs(pp1 - op3))
@@ -554,20 +596,22 @@ def _chroma_smooth_scan(D0, D1, bsite, rbmask, hp, wp):
             val = (
                 wtnw * (1.325 * nm1 - 0.175 * nm3 - 0.075 * rd_new(p, -1, -3) - 0.075 * rd_new(p, -3, -1))
                 + wtne * (1.325 * pp1 - 0.175 * pp3 - 0.075 * rd_new(p, -1, 3) - 0.075 * rd_new(p, -3, 1))
-                + wtsw * (1.325 * op1 - 0.175 * op3 - 0.075 * rd_old(p, 1, -3) - 0.075 * rd_old(p, 3, -1))
-                + wtse * (1.325 * om1 - 0.175 * om3 - 0.075 * rd_old(p, 1, 3) - 0.075 * rd_old(p, 3, 1))
+                + wtsw * (1.325 * op1 - 0.175 * op3 - 0.075 * rd_old_row(d1, p, -3) - 0.075 * rd_old_row(d3, p, -1))
+                + wtse * (1.325 * om1 - 0.175 * om3 - 0.075 * rd_old_row(d1, p, 3) - 0.075 * rd_old_row(d3, p, 1))
             ) / (wtnw + wtne + wtsw + wtse)
             outs.append(val)
 
-        old0 = planes[0, y]
-        old1 = planes[1, y]
-        # update only the selected plane, then re-replicate across the cell
-        new0 = jnp.where(c == 0, _replicate_row(outs[0], y, wp), old0)
-        new1 = jnp.where(c == 1, _replicate_row(outs[1], y, wp), old1)
-        newstack = jnp.stack([new0, new1])
+        c_is_one = (r % 2) == 0  # R rows (even padded parity) update plane 1
+        new0 = jnp.where(c_is_one, o[0], _replicate_rows_t(outs[0], r, wp))
+        new1 = jnp.where(c_is_one, _replicate_rows_t(outs[1], r, wp), o[1])
+        newstack = jnp.stack([new0, new1])     # (2, T, wp)
         carry_out = jnp.concatenate([newrows[:, 1:], newstack[:, None]], axis=1)
         return carry_out, newstack
 
-    init = jnp.stack([planes[:, 0] * 0.0] * 3, axis=1)
-    _, rows = jax.lax.scan(step, init, jnp.arange(hp))
-    return rows[:, 0], rows[:, 1]
+    init = jnp.zeros((2, 3, T, wp), D0.dtype)
+    xs = (chunks["o"], chunks["d1"], chunks["d3"], jnp.arange(160))
+    _, rows = jax.lax.scan(step, init, xs)     # rows: (160, 2, T, wp)
+    out0 = _unchunk_rows(rows[:, 0].transpose(1, 0, 2), hp)
+    out1 = _unchunk_rows(rows[:, 1].transpose(1, 0, 2), hp)
+    return out0, out1
+

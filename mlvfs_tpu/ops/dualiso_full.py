@@ -36,6 +36,7 @@ from .luts import (
 )
 from .chroma_smooth import chroma_smooth_image
 from . import dualiso_analysis as analysis
+from . import evmath
 
 FULLRES_THR = 0.8
 ALIAS_MAP_MAX = 15000
@@ -170,13 +171,13 @@ _ALIAS_BLUR_GROUPS = [
 ]
 
 
-def _build_alias_map(fullres_smooth, halfres_smooth, bright, frcurve, lut, h, w):
+def _build_alias_map(fullres_smooth, halfres_smooth, bright, frcurve_of, ev_of, h, w):
     """Aliasing-likelihood map (build_alias_map, hdr.c:1382-1486)."""
-    skip = frcurve[bright & 0xFFFFF] > FULLRES_THR
+    skip = frcurve_of(bright) > FULLRES_THR
     f = fullres_smooth
     hm = halfres_smooth
-    fe = lut[jnp.clip(f, 0, lut.shape[0] - 1)]
-    he = lut[jnp.clip(hm, 0, lut.shape[0] - 1)]
+    fe = ev_of(f)
+    he = ev_of(hm)
     e_lin = jnp.maximum(jnp.abs(f - hm) - int(DARK_NOISE20) * 3 // 2, 0)
     e_log = jnp.abs(fe - he)
     alias = jnp.minimum(jnp.minimum(e_lin // 2, e_log // 16), 65530)
@@ -243,12 +244,31 @@ def _reconstruct_one(
     use_fullres: bool,
     use_alias: bool,
     cs_method: int,
+    exact_luts: bool,
+    white_ev: int,
 ):
     h, w = img.shape
     ev2raw_pos = ev2raw0[10 * EV_RESOLUTION :]
 
-    def ev2raw_at(e):
-        return ev2raw0[jnp.clip(e + 10 * EV_RESOLUTION, 0, 24 * EV_RESOLUTION - 1)]
+    if exact_luts:
+        def ev_of(x):
+            return lut[jnp.clip(x, 0, lut.shape[0] - 1)]
+
+        def ev2raw_at(e):
+            return ev2raw0[jnp.clip(e + 10 * EV_RESOLUTION, 0, 24 * EV_RESOLUTION - 1)]
+
+        def frcurve_of(x):
+            return frcurve[x & 0xFFFFF]
+    else:
+        # computed transforms: VPU transcendentals instead of 4MB-table gathers
+        def ev_of(x):
+            return evmath.raw2ev20(x, black20)
+
+        def ev2raw_at(e):
+            return evmath.ev2raw20(e, black20, white20, white_ev)
+
+        def frcurve_of(x):
+            return evmath.fullres_weight(x, black20)
 
     # promote to 20 bits (hdr.c:825-837)
     raw = (img.astype(jnp.int32) << 6) & 0xFFFFF
@@ -262,15 +282,15 @@ def _reconstruct_one(
     adj = jnp.clip(jnp.trunc(adj), 0, 0xFFFFF).astype(jnp.int32)
     raw = jnp.where(raw == 0, 0, adj)
 
-    ev = lut[jnp.clip(raw, 0, lut.shape[0] - 1)]
+    ev = ev_of(raw)
     white_row = jnp.where(row_bright, jnp.int32(white20), white_darkened)
-    evw_row = lut[jnp.clip(white_row, 0, lut.shape[0] - 1)]
+    evw_row = ev_of(white_row)
 
     if interp_method == 0:
         from .amaze import amaze_edge_interpolate
 
         dark, bright = amaze_edge_interpolate(
-            raw, ev, ev2raw_at, row_bright, s, lut, ev2raw0, frcurve,
+            raw, ev, ev2raw_at, row_bright, s, ev_of, frcurve_of,
             white_darkened, black20=black20, white20=white20,
         )
         # border interpolation applies the same way afterwards
@@ -288,8 +308,8 @@ def _reconstruct_one(
 
     # half-res blend (mix_images, hdr.c:1560-1611)
     max_ev = jnp.log2(jnp.float32(white20 // 64 - black20 // 64))
-    bev = lut[jnp.clip(bright, 0, lut.shape[0] - 1)]
-    dev = lut[jnp.clip(dark, 0, lut.shape[0] - 1)]
+    bev = ev_of(bright)
+    dev = ev_of(dark)
     i_f = (bright & 0xFFFFF).astype(jnp.float32)
     evb = jnp.log2(jnp.maximum(i_f / 64.0 - black20 / 64.0, 1.0)) + corr_ev
     cmix = -jnp.cos(jnp.clip(evb - (max_ev - overlap), 0, overlap) * np.pi / overlap)
@@ -305,7 +325,7 @@ def _reconstruct_one(
         halfres_smooth = halfres
 
     if use_alias:
-        alias = _build_alias_map(fullres_smooth, halfres_smooth, bright, frcurve, lut, h, w)
+        alias = _build_alias_map(fullres_smooth, halfres_smooth, bright, frcurve_of, ev_of, h, w)
     else:
         alias = None
 
@@ -313,10 +333,10 @@ def _reconstruct_one(
     over = _blur_overexposed(over, h, w)
 
     # final blend (hdr.c:1663-1758)
-    f = frcurve[bright & 0xFFFFF]
-    hrev = lut[jnp.clip(halfres_smooth, 0, lut.shape[0] - 1)].astype(jnp.float32)
-    frev = lut[jnp.clip(fullres, 0, lut.shape[0] - 1)].astype(jnp.float32)
-    frsev = lut[jnp.clip(fullres_smooth, 0, lut.shape[0] - 1)].astype(jnp.float32)
+    f = frcurve_of(bright)
+    hrev = ev_of(halfres_smooth).astype(jnp.float32)
+    frev = ev_of(fullres).astype(jnp.float32)
+    frsev = ev_of(fullres_smooth).astype(jnp.float32)
     c = jnp.clip(alias.astype(jnp.float32) / ALIAS_MAP_MAX, 0, 1) if use_alias else 0.0
     ovf = jnp.clip(over.astype(jnp.float32) / 200.0, 0, 1)
     c = jnp.maximum(c, ovf)
@@ -327,7 +347,7 @@ def _reconstruct_one(
     f = jnp.maximum(0.0, jnp.minimum(f, (sig - black20).astype(jnp.float32) / (4 * DARK_NOISE20)))
     output = jnp.trunc(hrev * (1 - f) + fev * f).astype(jnp.int32)
     output = jnp.clip(output, -10 * EV_RESOLUTION, 14 * EV_RESOLUTION - 1)
-    final20 = ev2raw0[output + 10 * EV_RESOLUTION]
+    final20 = ev2raw_at(output)
 
     # 20 → 16 bit; the reference's dither source is never seeded so its noise
     # is all-zero: out = trunc(v/16 + 0.5) (hdr.c:242,1760-1772)
@@ -354,11 +374,12 @@ def _apply_borders(p, dark, bright, row_bright, h, w):
     return dark, bright
 
 
-@functools.partial(jax.jit, static_argnames=("black20", "white20", "interp_method", "use_fullres", "use_alias", "cs_method"))
+@functools.partial(jax.jit, static_argnames=("black20", "white20", "interp_method", "use_fullres", "use_alias", "cs_method", "exact_luts", "white_ev"))
 def reconstruct_batch(
     imgs, row_bright, s, a, b20, white_darkened, corr_ev, overlap,
     lut, ev2raw0, frcurve,
     *, black20, white20, interp_method, use_fullres, use_alias, cs_method,
+    exact_luts, white_ev,
 ):
     fn = functools.partial(
         _reconstruct_one,
@@ -368,6 +389,8 @@ def reconstruct_batch(
         use_fullres=use_fullres,
         use_alias=use_alias,
         cs_method=cs_method,
+        exact_luts=exact_luts,
+        white_ev=white_ev,
     )
     return jax.vmap(lambda im, r, ss, aa, bb, wd, ce, ov: fn(im, r, ss, aa, bb, wd, ce, ov, lut, ev2raw0, frcurve, None))(
         imgs, row_bright, s, a, b20, white_darkened, corr_ev, overlap
@@ -481,9 +504,18 @@ def cr2hdr20_batch(imgs, fh, cfg, cal):
     # affects values at/above white — PSNR-immaterial for mixed batches)
     black20 = black * 64
     white20 = int(whites20[ok][0])
-    lut = jnp.asarray(np.asarray(raw2ev_lut20(black20, white20)))
-    ev2raw0 = jnp.asarray(np.asarray(ev2raw_lut20(black20, white20)))
-    frcurve = jnp.asarray(np.asarray(fullres_curve(black20), np.float32))
+    exact = bool(getattr(cfg, "exact_luts", False))
+    import math as _math
+
+    white_ev = int(round(_math.log2(1 + max(white20 / 64.0 - black20 / 64.0, 0)) * EV_RESOLUTION))
+    if exact or cfg.chroma_smooth:
+        lut = jnp.asarray(np.asarray(raw2ev_lut20(black20, white20)))
+        ev2raw0 = jnp.asarray(np.asarray(ev2raw_lut20(black20, white20)))
+        frcurve = jnp.asarray(np.asarray(fullres_curve(black20), np.float32))
+    else:
+        lut = jnp.zeros(1, jnp.int32)
+        ev2raw0 = jnp.zeros(10 * EV_RESOLUTION + 1, jnp.int32)
+        frcurve = jnp.zeros(1, jnp.float32)
 
     sub_imgs = imgs[:, y_off : y_off + hh, :]
     out_sub = reconstruct_batch(
@@ -504,6 +536,8 @@ def cr2hdr20_batch(imgs, fh, cfg, cal):
         use_fullres=not cfg.hdr_no_fullres,
         use_alias=not cfg.hdr_no_alias_map,
         cs_method=cfg.chroma_smooth,
+        exact_luts=exact,
+        white_ev=white_ev,
     )
     out = imgs.at[:, y_off : y_off + hh, :].set(out_sub)
     okj = jnp.asarray(ok)[:, None, None]

@@ -33,6 +33,8 @@ class ProcessingConfig:
     use_sidecar_idx: bool = True
     focus_pixel_dir: str = None  # directory with .fpm maps (default: package data)
     compress: str = "none"  # DNG output compression: none | lj92
+    exact_luts: bool = False  # dual-ISO EV transforms: reference tables (gathers)
+    #                           instead of computed log2/exp2 (faster on TPU)
 
     @property
     def wants_processing(self) -> bool:
