@@ -1,0 +1,207 @@
+"""Device-side dual-ISO analysis (the fast path).
+
+Same stages as dualiso_analysis.py (hdr.c:441-823) expressed as batched
+device reductions, so the frames never leave HBM: only per-frame scalars
+(pattern flags, white levels, fitted gain/offset) are pulled to host. The
+RANSAC inlier scoring runs in f32 on device; the exact-LUT mode keeps the
+f64 host implementation for strict parity work.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def rggb_stat(img, active_y1: int = 0):
+    """diffs_rggb < diffs_gbrg (identify_rggb_or_gbrg, hdr.c:441-495).
+
+    The L1 distance between the count-CDFs of two equal-size samples equals
+    the sum of |order statistic differences| — so the comparison needs four
+    static channel slices and four sorts, no histograms.
+    """
+    h, w = img.shape
+    y0 = (active_y1 + 3) & ~3
+    region = img[y0 : h // 4 * 4].astype(jnp.int32) & 16383
+    ch = {}
+    for py in range(2):
+        for px in range(2):
+            ch[py * 2 + px] = jnp.sort(region[py::2, px::2].reshape(-1))
+    diffs_rggb = jnp.abs(ch[1] - ch[2]).sum()
+    diffs_gbrg = jnp.abs(ch[0] - ch[3]).sum()
+    return diffs_rggb < diffs_gbrg
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def fields_stat_batch(imgs, black: int, active_y1: int = 0):
+    """is_bright flags + ok per frame (identify_bright_and_dark_fields,
+    hdr.c:497-636), histogram walks replaced by order statistics:
+    raw_at(ref) = sorted[ref-1] + 1 and cum[v] = searchsorted(sorted, v)."""
+    white = 10000
+    b, h, w = imgs.shape
+    y0 = (active_y1 + 3) & ~3
+    h4 = h // 4 * 4
+
+    # green pixels of each row phase are static slices: rows y0+q::4, column
+    # parity (y+1)%2 which is constant within a phase
+    def phase_slice(img, q):
+        y_start = y0 + ((q - y0) % 4)
+        off = (y_start + 1) % 2
+        return img[y_start:h4:4, off::2]
+
+    def one(img):
+        region = img.astype(jnp.int32) & 16383
+        sorted_ph = [jnp.sort(phase_slice(region, q).reshape(-1)) for q in range(4)]
+        n = sorted_ph[0].shape[0]
+        hist_total = n  # identical count per phase by construction
+
+        def raw_at(ref):
+            idx = jnp.clip(ref - 1, 0, n - 1)
+            return jnp.where(
+                ref <= 0, 0, jnp.stack([sp[idx] for sp in sorted_ph]) + 1
+            )
+
+        ref_max = int(hist_total * 0.998)
+        ref_off = int(hist_total * 0.05)
+        # cum_q[white-2] = #values <= white-2
+        cum_white = jnp.stack(
+            [jnp.searchsorted(sp, white - 2, side="right") for sp in sorted_ph]
+        )
+        first_break = cum_white.min() + 1
+        ref_final = jnp.minimum(ref_max - 1, first_break).astype(jnp.int32)
+
+        thr = black + (white - black) // 4
+        cum_thr = jnp.stack(
+            [jnp.searchsorted(sp, max(thr - 2, 0), side="right") for sp in sorted_ph]
+        )
+        cond_bound = cum_thr.min().astype(jnp.int32)
+        ref_b = jnp.minimum(jnp.minimum(ref_off - 1, cond_bound), ref_final)
+        off = jnp.where(ref_b >= 0, raw_at(ref_b), jnp.zeros(4, jnp.int32))
+        raw = raw_at(ref_final) - off
+        srt = jnp.sort(raw)
+        median_bright = (srt[1] + srt[2]).astype(jnp.float32) / 2
+        is_bright = raw.astype(jnp.float32) > median_bright
+        ok = (
+            (is_bright.sum() == 2)
+            & (is_bright[0] != is_bright[2])
+            & (is_bright[1] != is_bright[3])
+            & (ref_final >= 0)
+        )
+        return ok, is_bright
+
+    return jax.vmap(one)(imgs)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def white_detect_batch(imgs, is_bright, active_area, max_pix: int):
+    """(white_dark, white_bright) per frame (white_detect, hdr.c:250-300)."""
+    y1, x1, y2, x2 = active_area
+    discard = (10, 50)
+    margins = (100, 1500)
+
+    def one(img, ib):
+        ys = np.arange(y1, y2, 3)
+        xs = np.arange(x1, x2, 3)
+        grid = img[np.ix_(ys, xs)].astype(jnp.int32)
+        bright_rows = ib[ys % 4]
+        whites = []
+        for bin_idx in range(2):
+            m = jnp.broadcast_to((bright_rows == bool(bin_idx))[:, None], grid.shape)
+            sel = jnp.where(m, grid, -1).reshape(-1)
+            # replicate the sample-buffer clamp: keep the first max_pix-1
+            # samples and the last one (hdr.c:278-281)
+            order = jnp.cumsum(jnp.where(m, 1, 0).reshape(-1))
+            count = order[-1]
+            keep = (sel >= 0) & ((order <= max_pix - 1) | (order == count))
+            vals = jnp.where(keep, sel, -1)
+            k = jnp.minimum(discard[bin_idx], jnp.maximum(jnp.minimum(count, max_pix) - 1, 0))
+            top = -jnp.sort(-vals.astype(jnp.int32))
+            kth = top[k]
+            whites.append(kth - margins[bin_idx])
+        wd = jnp.clip(whites[0], 10000, 16383)
+        wb = jnp.clip(whites[1], 5000, 16383)
+        return wd, wb
+
+    return jax.vmap(one)(imgs, is_bright)
+
+
+def _tdiv(a, b):
+    q = jnp.abs(a) // b
+    return jnp.where(a < 0, -q, q)
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5))
+def match_exposures_batch(imgs, is_bright, black20s, white20s, shape, active_y1: int = 0):
+    """Exposure fit per frame (match_exposures, hdr.c:638-823), f32 scoring.
+
+    black20s/white20s: per-frame (B,) int32 (white from white_detect).
+    Returns (ok, a, b, white_darkened) arrays.
+    """
+    h, w = shape
+    y0 = active_y1 + 2
+    ys = np.arange(y0, h - 2, 3)
+    xs = np.arange(0, w, 3)
+    hi_nmax = ((w + 2) * (h + 2) // 9) // 50
+
+    def one(img, ib, black20, white20):
+        black = black20 // 16
+        white = white20 // 16
+        clip0 = white - black
+        clip = (clip0.astype(jnp.float32) * 0.95).astype(jnp.int32)
+
+        p16 = img.astype(jnp.int32) << 2
+        pn = p16[np.ix_(ys, xs)] - black
+        pa = p16[np.ix_(ys - 2, xs)] - black
+        pb = p16[np.ix_(ys + 2, xs)] - black
+        pi = _tdiv(pa + pb + 1, 2)
+        pi = jnp.where((pa >= clip) | (pb >= clip), clip0, pi)
+        pn = jnp.where(pi >= clip, clip0, pn)
+
+        row_bright = ib[ys % 4]
+        bright = jnp.where(row_bright[:, None], pn, pi).reshape(-1)
+        dark = jnp.where(row_bright[:, None], pi, pn).reshape(-1)
+
+        unclipped = bright < clip
+        n = unclipped.sum()
+        big = 1 << 30
+        bs = jnp.sort(jnp.where(unclipped, bright, big))
+        ds = jnp.sort(jnp.where(unclipped, dark, big))
+
+        def wirth_k(nn):
+            return jnp.where((nn & 1) == 1, nn // 2, nn // 2 - 1)
+
+        bmed = bs[jnp.clip(wirth_k(n), 0, bs.shape[0] - 1)]
+        k98 = jnp.clip(n * 98 // 100, 0, bs.shape[0] - 1)
+        b_lo = bs[k98]
+        k999 = jnp.clip((n.astype(jnp.float32) * 0.999).astype(jnp.int32), 0, bs.shape[0] - 1)
+        b_hi = bs[k999]
+        dmed = ds[jnp.clip(wirth_k(n), 0, ds.shape[0] - 1)]
+
+        sel = (bright > b_lo) & (bright < b_hi)
+        order = jnp.cumsum(sel)
+        sel &= order <= hi_nmax
+        slot = jnp.where(sel, order - 1, hi_nmax)
+        hb = jnp.zeros(hi_nmax + 1, jnp.float32).at[slot].set(bright.astype(jnp.float32), mode="drop")[:hi_nmax]
+        hd = jnp.zeros(hi_nmax + 1, jnp.float32).at[slot].set(dark.astype(jnp.float32), mode="drop")[:hi_nmax]
+        nval = jnp.minimum(order[-1], hi_nmax)
+        valid = jnp.arange(hi_nmax) < nval
+
+        evs = jnp.arange(3000, dtype=jnp.float32) * 0.002
+        a_cand = jnp.exp2(-evs)
+        b_cand = dmed.astype(jnp.float32) - bmed.astype(jnp.float32) * a_cand
+        e = hd[None, :] - (hb[None, :] * a_cand[:, None] + b_cand[:, None])
+        inlier = (jnp.abs(jnp.trunc(e)) < 50) & valid[None, :]
+        scores = inlier.sum(axis=1)
+        best = jnp.argmax(scores)
+        a = a_cand[best]
+        b = b_cand[best]
+        ok = (scores[best] > 0) & (1 / a >= 1.2)
+        b20 = b * 16
+        wd = ((white20 - black20).astype(jnp.float32) + b20) * a + black20
+        return ok, a, b, wd.astype(jnp.int32)
+
+    return jax.vmap(one)(imgs, is_bright, black20s, white20s)

@@ -74,15 +74,23 @@ def _row_shift(arr, s, mag):
 
 @functools.partial(jax.jit, static_argnums=(2, 3))
 def hdr_check_batch(imgs, lutf, black: int, white: int):
-    """Quick interlaced-exposure detector (hdr_check, hdr.c:407-439)."""
+    """Quick interlaced-exposure detector (hdr_check, hdr.c:407-439).
+
+    The raw2evf table is log2(p-black)*EVR with -inf at p==black and 0
+    below; computed directly (a table gather serializes on TPU).
+    """
+
+    def evf(p):
+        sig = p - black
+        mag = jnp.log2(jnp.maximum(sig, 1).astype(jnp.float32)) * EV_RESOLUTION
+        return jnp.where(sig > 0, mag, jnp.where(sig == 0, -jnp.inf, 0.0))
+
     def one(img):
         p = img.astype(jnp.int32)
         p2 = _shift(p, 2, 0)
         inner = jnp.zeros(img.shape, bool).at[2:-2, 2:-2].set(True)
         valid = inner & ((p > black + 32) | (p2 > black + 32)) & (p < white) & (p2 < white)
-        ev = lutf[jnp.clip(p, 0, lutf.shape[0] - 1)]
-        ev2 = lutf[jnp.clip(p2, 0, lutf.shape[0] - 1)]
-        diff = jnp.where(valid, jnp.abs(ev2 - ev), 0.0)
+        diff = jnp.where(valid, jnp.abs(evf(p2) - evf(p)), 0.0)
         num = valid.sum()
         return jnp.where(num > 0, diff.sum() / num, 0.0) > 0.5
 
@@ -426,74 +434,113 @@ def cr2hdr20_batch(imgs, fh, cfg, cal):
         if len(bp):
             imgs = pixel_ops.fix_pixel_list_batch(imgs, bp, black, crop_x, crop_y, dual_iso=True)
 
-    host_imgs = np.asarray(imgs)  # analysis stages need host values
-
-    # Bayer order: per-clip static (sensor property); from the first frame
-    rggb = analysis.identify_rggb_or_gbrg(host_imgs[0])
-    y_off = 0 if rggb else 1
-    hh = h if rggb else h - 1
-    # GBRG shifts the image down one row AND bumps active_area.y1 to 1
-    # (hdr.c:1784-1791), which moves the analysis sampling origins
-    ay1 = 0 if rggb else 1
-    sub = lambda fr: fr[y_off : y_off + hh]  # noqa: E731
+    exact = bool(getattr(cfg, "exact_luts", False))
 
     # per-frame scalars
     ok = np.zeros(b, bool)
-    row_bright = np.zeros((b, hh), bool)
-    s_arr = np.ones((b, hh), np.int32)
-    a_arr = np.ones(b, np.float32)
-    b20_arr = np.zeros(b, np.float32)
-    wd_arr = np.full(b, 1 << 20, np.int32)
-    ce_arr = np.zeros(b, np.float32)
-    ov_arr = np.ones(b, np.float32)
-    whites20 = np.zeros(b, np.int64)
-
+    row_bright = np.zeros((b, 1), bool)  # resized below once hh is known
     dark_noise_ev = np.log2(8.0) + 6
-    ys = np.arange(hh)
-    for i in range(b):
-        if not is_hdr[i]:
-            continue
-        frame = sub(host_imgs[i])
-        fok, is_bright = analysis.identify_bright_and_dark_fields(frame, black, active_y1=ay1)
-        if not fok:
-            continue
-        wdark, wbright = analysis.white_detect(frame, is_bright, (ay1, 0, hh, w))
-        black20 = black * 64
-        white20 = wdark * 64
-        # match_exposures clips against min(white, initial white_darkened =
-        # white_bright) (hdr.c:642,1864)
-        fit = analysis.match_exposures(
-            frame, is_bright, black20, min(wdark, wbright) * 64, active_y1=ay1
-        )
-        if not fit.ok:
-            continue
-        lowiso_dr = np.log2(white20 - black20) - dark_noise_ev
-        overlap = lowiso_dr - fit.corr_ev
-        overlap -= min(3.0, overlap - 3.0)
-        if overlap < 0.5:
-            continue
-        from ..utils import log
 
-        log.debug(
-            "dual-ISO frame %d: pattern %s %s, whites %d/%d, ISO diff %.2f EV, overlap %.1f EV",
-            i,
-            "".join("B" if b_ else "d" for b_ in is_bright),
-            "RGGB" if rggb else "GBRG",
-            wdark,
-            wbright,
-            fit.corr_ev,
-            overlap,
+    if exact:
+        # reference-exact host analysis (pulls the batch through the host)
+        host_imgs = np.asarray(imgs)
+        rggb = analysis.identify_rggb_or_gbrg(host_imgs[0])
+        y_off = 0 if rggb else 1
+        hh = h if rggb else h - 1
+        ay1 = 0 if rggb else 1
+        ys = np.arange(hh)
+        row_bright = np.zeros((b, hh), bool)
+        s_arr = np.ones((b, hh), np.int32)
+        a_arr = np.ones(b, np.float32)
+        b20_arr = np.zeros(b, np.float32)
+        wd_arr = np.full(b, 1 << 20, np.int32)
+        ce_arr = np.zeros(b, np.float32)
+        ov_arr = np.ones(b, np.float32)
+        whites20 = np.zeros(b, np.int64)
+        for i in range(b):
+            if not is_hdr[i]:
+                continue
+            frame = host_imgs[i][y_off : y_off + hh]
+            fok, is_bright = analysis.identify_bright_and_dark_fields(frame, black, active_y1=ay1)
+            if not fok:
+                continue
+            wdark, wbright = analysis.white_detect(frame, is_bright, (ay1, 0, hh, w))
+            fit = analysis.match_exposures(
+                frame, is_bright, black * 64, min(wdark, wbright) * 64, active_y1=ay1
+            )
+            if not fit.ok:
+                continue
+            white20_i = wdark * 64
+            lowiso_dr = np.log2(white20_i - black * 64) - dark_noise_ev
+            overlap = lowiso_dr - fit.corr_ev
+            overlap -= min(3.0, overlap - 3.0)
+            if overlap < 0.5:
+                continue
+            ok[i] = True
+            ib = np.array(is_bright, bool)
+            row_bright[i] = ib[ys % 4]
+            s_arr[i] = np.where(ib[ys % 4] == ib[(ys + 1) % 4], -1, 1)
+            a_arr[i] = fit.a
+            b20_arr[i] = fit.b * 16
+            wd_arr[i] = fit.white_darkened
+            ce_arr[i] = fit.corr_ev
+            ov_arr[i] = overlap
+            whites20[i] = white20_i
+    else:
+        # device analysis: only per-frame scalars leave HBM
+        from . import dualiso_analysis_dev as dev
+
+        rggb = bool(np.asarray(dev.rggb_stat(imgs[0])))
+        y_off = 0 if rggb else 1
+        hh = h if rggb else h - 1
+        ay1 = 0 if rggb else 1
+        sub_view = imgs[:, y_off : y_off + hh, :]
+        okf, ibf = dev.fields_stat_batch(sub_view, black, ay1)
+        max_pix = w * hh // 2 // 9
+        wd_wb = dev.white_detect_batch(sub_view, ibf, (ay1, 0, hh, w), max_pix)
+        wdarks = np.asarray(wd_wb[0])
+        wbrights = np.asarray(wd_wb[1])
+        black20s = jnp.full(b, black * 64, jnp.int32)
+        min20s = jnp.asarray(np.minimum(wdarks, wbrights) * 64, jnp.int32)
+        mok, a_dev, b_dev, wd_dev = dev.match_exposures_batch(
+            sub_view, ibf, black20s, min20s, (hh, w), ay1
         )
-        ok[i] = True
-        ib = np.array(is_bright, bool)
-        row_bright[i] = ib[ys % 4]
-        s_arr[i] = np.where(ib[ys % 4] == ib[(ys + 1) % 4], -1, 1)
-        a_arr[i] = fit.a
-        b20_arr[i] = fit.b * 16
-        wd_arr[i] = fit.white_darkened
-        ce_arr[i] = fit.corr_ev
-        ov_arr[i] = overlap
-        whites20[i] = white20
+        okf = np.asarray(okf)
+        ibf = np.asarray(ibf)
+        mok = np.asarray(mok)
+        a_np = np.asarray(a_dev)
+        b_np = np.asarray(b_dev)
+        wd_np = np.asarray(wd_dev)
+
+        ys = np.arange(hh)
+        row_bright = np.zeros((b, hh), bool)
+        s_arr = np.ones((b, hh), np.int32)
+        a_arr = np.ones(b, np.float32)
+        b20_arr = np.zeros(b, np.float32)
+        wd_arr = np.full(b, 1 << 20, np.int32)
+        ce_arr = np.zeros(b, np.float32)
+        ov_arr = np.ones(b, np.float32)
+        whites20 = np.zeros(b, np.int64)
+        for i in range(b):
+            if not (is_hdr[i] and okf[i] and mok[i]):
+                continue
+            white20_i = int(wdarks[i]) * 64
+            corr_ev = float(np.log2(1.0 / a_np[i]))
+            lowiso_dr = np.log2(white20_i - black * 64) - dark_noise_ev
+            overlap = lowiso_dr - corr_ev
+            overlap -= min(3.0, overlap - 3.0)
+            if overlap < 0.5:
+                continue
+            ok[i] = True
+            ib = ibf[i].astype(bool)
+            row_bright[i] = ib[ys % 4]
+            s_arr[i] = np.where(ib[ys % 4] == ib[(ys + 1) % 4], -1, 1)
+            a_arr[i] = a_np[i]
+            b20_arr[i] = b_np[i] * 16
+            wd_arr[i] = wd_np[i]
+            ce_arr[i] = corr_ev
+            ov_arr[i] = overlap
+            whites20[i] = white20_i
 
     if not ok.any():
         return imgs, ok
