@@ -56,6 +56,7 @@ def _add_processing_flags(p: argparse.ArgumentParser):
         help="Write lossless-compressed (LJ92) DNGs instead of uncompressed",
     )
     p.add_argument("-v", "--verbose", action="store_true", help="Per-stage timing report + debug logs")
+    p.add_argument("--devices", type=int, default=0, help="Shard frame batches over N devices (data parallel)")
 
 
 def config_from_args(args) -> ProcessingConfig:
@@ -79,6 +80,7 @@ def config_from_args(args) -> ProcessingConfig:
         use_sidecar_idx=not args.no_idx,
         focus_pixel_dir=args.fpm_dir,
         compress="lj92" if getattr(args, "compress_dng", False) else "none",
+        shard_devices=getattr(args, "devices", 0),
     )
 
 

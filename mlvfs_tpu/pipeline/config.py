@@ -35,6 +35,7 @@ class ProcessingConfig:
     compress: str = "none"  # DNG output compression: none | lj92
     exact_luts: bool = False  # dual-ISO EV transforms: reference tables (gathers)
     #                           instead of computed log2/exp2 (faster on TPU)
+    shard_devices: int = 0  # >1: shard the frame batch over this many devices
 
     @property
     def wants_processing(self) -> bool:

@@ -53,11 +53,21 @@ class ClipConverter:
     """
 
     def __init__(self, clip: MLVClip, config: ProcessingConfig = None):
+        from .stream import enable_compile_cache
+
+        enable_compile_cache()
         self.clip = clip
         self.config = config or ProcessingConfig()
         self.fh0 = clip.frame_headers(0) if clip.frame_count else None
         self._write_pool = _futures.ThreadPoolExecutor(max_workers=4)
         self._calibration = None
+        self._sharding = None
+        n_dev = int(getattr(self.config, "shard_devices", 0) or 0)
+        if n_dev > 1 and len(jax.devices()) >= n_dev:
+            from ..parallel.mesh import make_mesh, frames_sharding
+
+            self._mesh = make_mesh(n_dev)
+            self._sharding = frames_sharding(self._mesh)
 
     # ------------------------------------------------------------------ #
 
@@ -115,11 +125,25 @@ class ClipConverter:
 
         return run
 
-    def decode_batch(self, indices) -> jnp.ndarray:
-        """Decode frames → device array (B, H, W) uint16 (pre-processing)."""
+    def _put(self, host_array):
+        if self._sharding is not None and host_array.shape[0] % self._sharding.mesh.devices.size == 0:
+            return jax.device_put(host_array, self._sharding)
+        return jnp.asarray(host_array)
+
+    def fetch_batch(self, indices):
+        """Host side of decode: gather/decode + async device transfer.
+        Runs on the prefetch thread (stream.BatchPrefetcher)."""
         if self.fh0.compression == "none":
-            return self._unpack_jit(jnp.asarray(self._gather_packed_batch(indices)))
-        return jnp.asarray(self._decode_batch_host(indices))
+            return self._put(self._gather_packed_batch(indices))
+        return self._put(self._decode_batch_host(indices))
+
+    def decode_batch(self, indices, fetched=None) -> jnp.ndarray:
+        """Decode frames → device array (B, H, W) uint16 (pre-processing)."""
+        if fetched is None:
+            fetched = self.fetch_batch(indices)
+        if self.fh0.compression == "none":
+            return self._unpack_jit(fetched)
+        return fetched
 
     def process_batch(self, imgs: jnp.ndarray, indices):
         """Run the configured processing pipeline on a decoded batch.
@@ -163,17 +187,21 @@ class ClipConverter:
         paths = []
         pending = []
         from ..utils import StageTimer, metrics
+        from .stream import BatchPrefetcher
 
-        for start in range(0, len(frames), cfg.batch_size):
-            indices = frames[start : start + cfg.batch_size]
+        batches = [frames[i : i + cfg.batch_size] for i in range(0, len(frames), cfg.batch_size)]
+        prefetcher = BatchPrefetcher(self.fetch_batch, batches, depth=max(1, cfg.prefetch))
+        done = 0
+        for indices, fetched in prefetcher:
             with StageTimer("decode"):
-                imgs = self.decode_batch(indices)
+                imgs = self.decode_batch(indices, fetched)
             with StageTimer("process"):
                 imgs, info = self.process_batch(imgs, indices)
             with StageTimer("readback"):
                 imgs_np = np.asarray(jax.device_get(imgs), "<u2")
             metrics.count("frames", len(indices))
             metrics.count("bytes_out", int(imgs_np.nbytes))
+            done += len(indices)
             for bi, i in enumerate(indices):
                 fh = clip.frame_headers(i)
                 self._apply_info(fh, info, bi)
@@ -192,7 +220,7 @@ class ClipConverter:
                     )
                 paths.append(path)
             if progress:
-                progress(min(start + cfg.batch_size, len(frames)), len(frames))
+                progress(done, len(frames))
         for fut in pending:
             fut.result()
         return paths

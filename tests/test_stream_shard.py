@@ -1,0 +1,69 @@
+"""Prefetch pipeline + multi-device sharded conversion (8 virtual CPU devices)."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from mlvfs_tpu.format import synth
+from mlvfs_tpu.pipeline.config import ProcessingConfig
+from mlvfs_tpu.pipeline.convert import convert_clip
+from mlvfs_tpu.pipeline.stream import BatchPrefetcher
+from mlvfs_tpu.emit.dng import HEADER_SIZE
+
+
+def test_prefetcher_order_and_results():
+    fetched = []
+
+    def fetch(idx):
+        fetched.append(tuple(idx))
+        return sum(idx)
+
+    batches = [[0, 1], [2, 3], [4]]
+    out = list(BatchPrefetcher(fetch, batches, depth=2))
+    assert [tuple(i) for i, _ in out] == [(0, 1), (2, 3), (4,)]
+    assert [v for _, v in out] == [1, 5, 4]
+    assert set(fetched) == {(0, 1), (2, 3), (4,)}
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_convert_matches_unsharded(tmp_path):
+    src = str(tmp_path / "SHARD.MLV")
+    spec = synth.write_mlv(src, width=256, height=64, frames=16)
+    out_a = str(tmp_path / "a")
+    out_b = str(tmp_path / "b")
+    paths_a = convert_clip(src, out_a, ProcessingConfig(batch_size=8, chroma_smooth=3))
+    paths_b = convert_clip(
+        src, out_b, ProcessingConfig(batch_size=8, chroma_smooth=3, shard_devices=8)
+    )
+    for pa, pb in zip(paths_a, paths_b):
+        a = np.fromfile(pa, np.uint8)
+        b = np.fromfile(pb, np.uint8)
+        np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_dualiso_convert(tmp_path):
+    src = str(tmp_path / "DI8.MLV")
+    spec = synth.SynthSpec(width=1280, height=960, frames=8, dual_iso=3, seed=3)
+    rng = np.random.default_rng(spec.seed)
+    frames = np.stack([synth.make_frame_data(spec, rng) for _ in range(8)])
+    synth.write_mlv(src, spec, frame_data=frames)
+    cfg0 = ProcessingConfig(batch_size=8, dual_iso=2, hdr_interpolation_method=1)
+    cfg8 = ProcessingConfig(
+        batch_size=8, dual_iso=2, hdr_interpolation_method=1, shard_devices=8
+    )
+    paths0 = convert_clip(src, str(tmp_path / "out0"), cfg0)
+    paths8 = convert_clip(src, str(tmp_path / "out8"), cfg8)
+    assert len(paths8) == 8
+    img = np.fromfile(paths8[0], "<u2", offset=HEADER_SIZE)
+    # dual-ISO reconstruction ran: output is not the 14-bit passthrough
+    # (the synthetic scene is dark by design — scene_scale=0.9/2^ev — so the
+    # proof is divergence from the source, not a value threshold)
+    assert img.size == frames[0].size
+    assert not np.array_equal(img.reshape(frames[0].shape), frames[0])
+    # and sharding over 8 devices is bit-identical to the single-device path
+    for p0, p8 in zip(paths0, paths8):
+        np.testing.assert_array_equal(
+            np.fromfile(p0, np.uint8), np.fromfile(p8, np.uint8)
+        )
