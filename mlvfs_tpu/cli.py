@@ -57,6 +57,7 @@ def _add_processing_flags(p: argparse.ArgumentParser):
     )
     p.add_argument("-v", "--verbose", action="store_true", help="Per-stage timing report + debug logs")
     p.add_argument("--devices", type=int, default=0, help="Shard frame batches over N devices (data parallel)")
+    p.add_argument("--resume", action="store_true", help="Skip frames whose DNG already exists")
 
 
 def config_from_args(args) -> ProcessingConfig:
@@ -81,6 +82,7 @@ def config_from_args(args) -> ProcessingConfig:
         focus_pixel_dir=args.fpm_dir,
         compress="lj92" if getattr(args, "compress_dng", False) else "none",
         shard_devices=getattr(args, "devices", 0),
+        resume=getattr(args, "resume", False),
     )
 
 

@@ -36,6 +36,7 @@ class ProcessingConfig:
     exact_luts: bool = False  # dual-ISO EV transforms: reference tables (gathers)
     #                           instead of computed log2/exp2 (faster on TPU)
     shard_devices: int = 0  # >1: shard the frame batch over this many devices
+    resume: bool = False  # skip frames whose DNG already exists (restartable)
 
     @property
     def wants_processing(self) -> bool:

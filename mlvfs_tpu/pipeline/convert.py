@@ -37,12 +37,24 @@ def _mlv_basename(path: str) -> str:
 
 
 def dng_frame_name(basename: str, frame: int, camera_model=0, name_scheme: int = 0) -> str:
-    """Virtual DNG naming (main.c:1308 '%s_%06d.dng'; Resolve scheme: main.c:715-778)."""
-    if name_scheme == 1:
-        # DaVinci Resolve style: <basename>_1_YYYY-MM-DD_NNNN_C####_%06d.dng is
-        # derived from RTCI/IDNT; we keep the suffix contract (6-digit index).
-        return f"{basename}_{frame:06d}.dng"
+    """Virtual DNG naming (main.c:1308 '%s_%06d.dng')."""
     return f"{basename}_{frame:06d}.dng"
+
+
+def resolve_basename(path: str, fh) -> str:
+    """DaVinci Resolve naming scheme (get_mlv_basename, main.c:724-728):
+    <name><EXT>_1_YYYY-MM-DD_0001_C0000 derived from the RTCI date."""
+    base, ext = os.path.splitext(os.path.basename(path))
+    rtci = fh.rtci
+    return "%s%s_1_%d-%02d-%02d_%04d_C%04d" % (
+        base,
+        ext[1:],
+        1900 + int(rtci["tm_year"]),
+        int(rtci["tm_mon"]) + 1,
+        int(rtci["tm_mday"]),
+        1,
+        0,
+    )
 
 
 class ClipConverter:
@@ -166,11 +178,18 @@ class ClipConverter:
         return imgs, info
 
     def _get_calibration(self):
-        """Per-clip calibration state (focus map; lazy stripe/bad-pixel cal)."""
+        """Per-clip calibration state (focus map; lazy stripe/bad-pixel cal).
+
+        Restored from the `.CAL` sidecar when present (SURVEY.md section 5:
+        checkpoint/resume extends the .IDX idea to per-clip calibration)."""
         if self._calibration is None:
-            from . import kernels
+            from . import kernels, calibration
 
             self._calibration = kernels.calibrate_clip(self.fh0, self.config)
+            if self.config.use_sidecar_idx:
+                calibration.load_into(
+                    self._calibration, self.clip.path, self.clip.guid, self.config
+                )
         return self._calibration
 
     # ------------------------------------------------------------------ #
@@ -182,12 +201,27 @@ class ClipConverter:
         if clip.frame_count == 0:
             return []
         cfg = self.config
-        basename = _mlv_basename(clip.path)
+        if cfg.name_scheme == 1:
+            basename = resolve_basename(clip.path, self.fh0)
+        else:
+            basename = _mlv_basename(clip.path)
         frames = list(range(clip.frame_count)) if frames is None else list(frames)
         paths = []
         pending = []
         from ..utils import StageTimer, metrics
         from .stream import BatchPrefetcher
+
+        if cfg.resume:
+            # restartable conversion: skip frames whose DNG is already on disk
+            todo = []
+            for i in frames:
+                path = os.path.join(outdir, dng_frame_name(basename, i, name_scheme=cfg.name_scheme))
+                if os.path.isfile(path) and os.path.getsize(path) > dng_emit.HEADER_SIZE:
+                    paths.append(path)
+                else:
+                    todo.append(i)
+            metrics.count("frames_resumed", len(frames) - len(todo))
+            frames = todo
 
         batches = [frames[i : i + cfg.batch_size] for i in range(0, len(frames), cfg.batch_size)]
         prefetcher = BatchPrefetcher(self.fetch_batch, batches, depth=max(1, cfg.prefetch))
@@ -223,7 +257,11 @@ class ClipConverter:
                 progress(done, len(frames))
         for fut in pending:
             fut.result()
-        return paths
+        if self._calibration is not None and cfg.use_sidecar_idx:
+            from . import calibration
+
+            calibration.save_from(self._calibration, clip.path, clip.guid, cfg)
+        return sorted(paths)
 
     @staticmethod
     def _write_dng(path: str, header: bytes, img: np.ndarray):

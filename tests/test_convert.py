@@ -117,3 +117,67 @@ def test_cli_wav_gif_log(tmp_path):
     with open(wav_out, "rb") as f:
         hdr = f.read(16)
     assert hdr[:4] == b"RIFF" and hdr[8:12] == b"WAVE"
+
+
+def test_convert_resolve_naming(tmp_path):
+    """--resolve-naming: <name>MLV_1_YYYY-MM-DD_0001_C0000_%06d.dng
+    (get_mlv_basename, main.c:724-728; RTCI date from the synth spec)."""
+    src = str(tmp_path / "M19-1652.MLV")
+    synth.write_mlv(src, width=320, height=96, frames=2)
+    paths = convert_clip(
+        src, str(tmp_path / "out"), ProcessingConfig(batch_size=2, name_scheme=1)
+    )
+    # synth RTCI: year=115 (2015), mon=5 (June), mday=15
+    assert [os.path.basename(p) for p in paths] == [
+        f"M19-1652MLV_1_2015-06-15_0001_C0000_{i:06d}.dng" for i in range(2)
+    ]
+
+
+def test_convert_resume(tmp_path):
+    """--resume skips frames whose DNG already exists."""
+    src = str(tmp_path / "CLIP.MLV")
+    synth.write_mlv(src, width=320, height=96, frames=6)
+    outdir = str(tmp_path / "out")
+    cfg = ProcessingConfig(batch_size=4)
+    first = convert_clip(src, outdir, cfg, frames=range(3))
+    assert len(first) == 3
+    mtimes = {p: os.path.getmtime(p) for p in first}
+    stamps = {p: os.stat(p).st_mtime_ns for p in first}
+    paths = convert_clip(src, outdir, ProcessingConfig(batch_size=4, resume=True))
+    assert len(paths) == 6
+    # the three pre-existing DNGs were not rewritten
+    for p in first:
+        assert os.stat(p).st_mtime_ns == stamps[p]
+    # and the resumed output matches a from-scratch conversion
+    fresh = convert_clip(src, str(tmp_path / "fresh"), cfg)
+    for a, b in zip(paths, fresh):
+        assert open(a, "rb").read() == open(b, "rb").read()
+
+
+def test_calibration_sidecar(tmp_path):
+    """.CAL sidecar persists stripe gains + bad-pixel list across runs."""
+    from mlvfs_tpu.pipeline import calibration as cal_mod
+    from mlvfs_tpu.pipeline.convert import ClipConverter
+
+    src = str(tmp_path / "CLIP.MLV")
+    synth.write_mlv(src, width=320, height=96, frames=2, seed=99)
+    cfg = ProcessingConfig(batch_size=2, fix_stripes=True, fix_bad_pixels=1)
+    convert_clip(src, str(tmp_path / "a"), cfg)
+    cal_file = cal_mod.cal_path(src)
+    assert os.path.isfile(cal_file)
+
+    # a new converter restores the calibration without recomputing
+    with MLVClip(src) as clip:
+        conv = ClipConverter(clip, cfg)
+        cal = conv._get_calibration()
+        assert cal.stripes_done
+        assert cal.bad_pixels_done
+        conv.close()
+
+    # and the sidecar-backed conversion is byte-identical
+    paths_a = sorted(os.listdir(tmp_path / "a"))
+    convert_clip(src, str(tmp_path / "b"), cfg)
+    for name in paths_a:
+        a = open(tmp_path / "a" / name, "rb").read()
+        b = open(tmp_path / "b" / name, "rb").read()
+        assert a == b
