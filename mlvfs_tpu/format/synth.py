@@ -51,6 +51,7 @@ class SynthSpec:
     pan_y: int = 0
     active_area: tuple = None  # default: full frame
     debug_log: str = ""
+    extra_blocks: bool = False  # emit INFO/MARK/STYL/ELVL metadata blocks
     seed: int = 1234
 
 
@@ -187,8 +188,22 @@ def write_mlv(path: str, spec: SynthSpec = None, frame_data=None, **kw) -> Synth
         diso = mlv.new_block(mlv.DISO, b"DISO")
         diso["dualMode"], diso["isoValue"] = 1, spec.iso * (1 << spec.dual_iso)
         meta_blocks.append(diso)
+    if spec.extra_blocks:
+        # auxiliary metadata the reference indexes but does not consume
+        # (mlv.h:175-215): exercises skip-unknown paths in index/reader
+        info_text = b"synthetic clip\0\0"
+        info = mlv.new_block(mlv.INFO, b"INFO")
+        info["blockSize"] = mlv.INFO.itemsize + len(info_text)
+        mark = mlv.new_block(mlv.MARK, b"MARK")
+        mark["type"] = 1
+        styl = mlv.new_block(mlv.STYL, b"STYL")
+        styl["picStyleId"], styl["picStyleName"] = 1, b"Standard"
+        elvl = mlv.new_block(mlv.ELVL, b"ELVL")
+        elvl["roll"], elvl["pitch"] = 450, 900
+        meta_blocks.extend([(info, info_text), mark, styl, elvl])
     for blk in meta_blocks:
-        blk["timestamp"] = ts
+        rec = blk[0] if isinstance(blk, tuple) else blk
+        rec["timestamp"] = ts
         ts += 10
 
     if spec.debug_log:

@@ -114,3 +114,26 @@ def test_lzma_clip(tmp_path):
     fh = clip.frame_headers(0)
     assert fh.compression == "lzma"
     assert clip.frame_count == 2
+
+
+def test_extra_metadata_blocks(tmp_path):
+    """INFO/MARK/STYL/ELVL blocks (mlv.h:175-215) index cleanly and do not
+    disturb frame extraction or conversion."""
+    import numpy as np
+    from mlvfs_tpu.pipeline.config import ProcessingConfig
+    from mlvfs_tpu.pipeline.convert import convert_clip
+    from mlvfs_tpu.emit.dng import HEADER_SIZE
+
+    src = str(tmp_path / "X.MLV")
+    spec = synth.write_mlv(
+        src, width=320, height=96, frames=3, extra_blocks=True, out_of_order=True
+    )
+    with MLVClip(src) as clip:
+        assert clip.frame_count == 3
+        fh = clip.frame_headers(0)
+        assert fh.xres == 320
+    paths = convert_clip(src, str(tmp_path / "out"), ProcessingConfig(batch_size=2))
+    assert len(paths) == 3
+    expected = synth.make_frame_data(spec, np.random.default_rng(spec.seed))
+    img = np.fromfile(paths[0], "<u2", offset=HEADER_SIZE).reshape(96, 320)
+    np.testing.assert_array_equal(img, expected)

@@ -36,7 +36,7 @@ def _run(fh, img, cfg):
 
 
 @pytest.mark.parametrize(
-    "phase,gbrg", [(0, False), (1, False), (2, False), (0, True)]
+    "phase,gbrg", [(0, False), (1, False), (2, False), (3, False), (0, True)]
 )
 def test_full_mean23_parity(tmp_path, phase, gbrg):
     fh, spec, img = _dual_clip(tmp_path, phase=phase, gbrg=gbrg)
