@@ -448,27 +448,37 @@ def amaze_demosaic(raw: jnp.ndarray):
     return red[sl], gout[sl], blue[sl]
 
 
-def _chunk_rows(arr, T, tile=160, step=128):
-    """(hp, wp) → (T, tile, wp): overlapping row chunks on the reference's
-    tile grid (tile t covers padded rows [128t, 128t+160))."""
+# Raster-pass scan grid: the reference's 160-row tiles (128-row step +
+# 16-row aprons, amaze_demosaic_RT.c:135), where it restarts each in-place
+# raster pass. Smaller tiles shorten the sequential chain but measured no
+# faster once the scans are unrolled (work-bound, not chain-bound), so the
+# grid stays reference-exact.
+SCAN_TILE = 160
+SCAN_STEP = 128
+_APRON = 16
+
+
+def _chunk_rows(arr, T, tile=SCAN_TILE, step=SCAN_STEP):
+    """(hp, wp) → (T, tile, wp): overlapping row chunks on the scan grid
+    (tile t covers padded rows [step*t, step*t + tile))."""
     hp = arr.shape[0]
-    need = step * T + 32
+    need = step * T + (tile - step)
     if need > hp:
         arr = jnp.pad(arr, ((0, need - hp), (0, 0)), mode="edge")
     idx = (jnp.arange(T) * step)[:, None] + jnp.arange(tile)[None, :]
     return arr[idx]
 
 
-def _unchunk_rows(out, hp, tile=160, step=128):
-    """Inverse of _chunk_rows keeping each tile's centre rows [16, 144)."""
-    first = out[0, :16]
-    mid = out[:, 16:144].reshape(-1, out.shape[-1])
-    last = out[-1, 144:]
+def _unchunk_rows(out, hp, tile=SCAN_TILE, step=SCAN_STEP):
+    """Inverse of _chunk_rows keeping each tile's centre rows [APRON, APRON+step)."""
+    first = out[0, :_APRON]
+    mid = out[:, _APRON : _APRON + step].reshape(-1, out.shape[-1])
+    last = out[-1, _APRON + step :]
     return jnp.concatenate([first, mid, last], axis=0)[:hp]
 
 
 def _n_tiles(hp):
-    return max(1, -(-(hp - 32) // 128))
+    return max(1, -(-(hp - (SCAN_TILE - SCAN_STEP)) // SCAN_STEP))
 
 
 def _replicate_rows_t(vals, r, wp):
@@ -503,7 +513,7 @@ def _neighbor_refine_scan(wt, hp, wp):
         new = _replicate_rows_t(new, r, wp)
         return new, new
 
-    xs = (tiles.transpose(1, 0, 2), tiles_next.transpose(1, 0, 2), jnp.arange(160))
+    xs = (tiles.transpose(1, 0, 2), tiles_next.transpose(1, 0, 2), jnp.arange(SCAN_TILE))
     # per-step work is tiny (T, wp); unrolling amortizes the while-loop
     # overhead that otherwise dominates these row chains on TPU
     _, rows = jax.lax.scan(step, tiles[:, 0], xs, unroll=16)
@@ -550,7 +560,7 @@ def _nyquist_dilate(nyq, rbmask, hp, wp):
         return (r1new, new), new
 
     zero = jnp.zeros((T, wp), nyq.dtype)
-    xs = (t_o, t_d1, t_d2, jnp.arange(160))
+    xs = (t_o, t_d1, t_d2, jnp.arange(SCAN_TILE))
     _, rows = jax.lax.scan(step, (zero, zero), xs, unroll=16)
     return _unchunk_rows(rows.transpose(1, 0, 2), hp)
 
@@ -611,7 +621,7 @@ def _chroma_smooth_scan(D0, D1, bsite, rbmask, hp, wp):
         return carry_out, newstack
 
     init = jnp.zeros((2, 3, T, wp), D0.dtype)
-    xs = (chunks["o"], chunks["d1"], chunks["d3"], jnp.arange(160))
+    xs = (chunks["o"], chunks["d1"], chunks["d3"], jnp.arange(SCAN_TILE))
     # unroll=4 measured best for this scan (larger carry → unroll=16 regresses)
     _, rows = jax.lax.scan(step, init, xs, unroll=4)  # rows: (160, 2, T, wp)
     out0 = _unchunk_rows(rows[:, 0].transpose(1, 0, 2), hp)
