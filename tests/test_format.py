@@ -1,5 +1,7 @@
 """MLV container layer: block dtypes, synth, indexing, reader."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -137,3 +139,63 @@ def test_extra_metadata_blocks(tmp_path):
     expected = synth.make_frame_data(spec, np.random.default_rng(spec.seed))
     img = np.fromfile(paths[0], "<u2", offset=HEADER_SIZE).reshape(96, 320)
     np.testing.assert_array_equal(img, expected)
+
+
+def test_truncated_clip_recovers_leading_frames(tmp_path):
+    """Scanning stops at a truncated block; earlier frames stay readable
+    (index.c:248-252 block-size sanity / short-read stop)."""
+    src = str(tmp_path / "T.MLV")
+    synth.write_mlv(src, width=320, height=96, frames=4)
+    with MLVClip(src, use_sidecar=False) as clip:
+        offs = [
+            int(e["frameOffset"])
+            for e in clip.xref
+            if int(e["frameType"]) == mlv.FRAME_VIDF
+        ]
+    # cut the file inside the last VIDF's block header
+    with open(src, "r+b") as f:
+        f.truncate(offs[3] + 10)
+    with MLVClip(src, use_sidecar=False) as clip:
+        assert clip.frame_count == 3
+        clip.frame_payload(2)
+
+
+def test_corrupt_block_size_stops_scan(tmp_path):
+    """A garbage blockSize mid-stream ends the scan without raising."""
+    import numpy as np
+
+    src = str(tmp_path / "C.MLV")
+    synth.write_mlv(src, width=320, height=96, frames=4)
+    with MLVClip(src, use_sidecar=False) as clip:
+        # find the 3rd VIDF's header offset via the index
+        offs = [
+            int(e["frameOffset"])
+            for e in clip.xref
+            if int(e["frameType"]) == mlv.FRAME_VIDF
+        ]
+    with open(src, "r+b") as f:
+        f.seek(offs[2] + 4)  # blockSize field of the 3rd VIDF
+        f.write(np.uint32(0xFFFFFFFF).tobytes())
+    with MLVClip(src, use_sidecar=False) as clip:
+        assert clip.frame_count == 2
+        clip.frame_payload(1)
+
+
+def test_chunk_guid_mismatch_excluded(tmp_path):
+    """A spill chunk whose MLVI GUID differs is not indexed
+    (index.c:277-282)."""
+    src = str(tmp_path / "G.MLV")
+    synth.write_mlv(src, width=320, height=96, frames=6, chunks=2)
+    chunk = src[:-2] + "00"
+    with MLVClip(src, use_sidecar=False) as clip:
+        assert clip.frame_count == 6
+    # corrupt the chunk's GUID
+    import numpy as np
+
+    with open(chunk, "r+b") as f:
+        hdr = np.fromfile(chunk, mlv.MLVI, 1)[0].copy()
+        hdr["fileGuid"] = 0x1111111111111111
+        f.seek(0)
+        f.write(hdr.tobytes())
+    with MLVClip(src, use_sidecar=False) as clip:
+        assert clip.frame_count == 3
