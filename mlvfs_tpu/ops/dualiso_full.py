@@ -424,7 +424,7 @@ def cr2hdr20_batch(imgs, fh, cfg, cal):
     b, h, w = imgs.shape
 
     lutf = jnp.asarray(np.asarray(raw2ev_lutf(black), np.float32))
-    is_hdr = np.asarray(hdr_check_batch(imgs, lutf, black, white14))
+    is_hdr_dev = hdr_check_batch(imgs, lutf, black, white14)  # pulled later
 
     # focus + optional bad pixels, horizontal mode (cr2hdr20, hdr.c:1942-1948)
     from . import pixels as pixel_ops
@@ -450,10 +450,19 @@ def cr2hdr20_batch(imgs, fh, cfg, cal):
     row_bright = np.zeros((b, 1), bool)  # resized below once hh is known
     dark_noise_ev = np.log2(8.0) + 6
 
+    cached_rggb = getattr(cal, "dual_iso_rggb", None) if cal is not None else None
+
     if exact:
         # reference-exact host analysis (pulls the batch through the host)
+        is_hdr = np.asarray(is_hdr_dev)
         host_imgs = np.asarray(imgs)
-        rggb = analysis.identify_rggb_or_gbrg(host_imgs[0])
+        rggb = (
+            cached_rggb
+            if cached_rggb is not None
+            else analysis.identify_rggb_or_gbrg(host_imgs[0])
+        )
+        if cal is not None:
+            cal.dual_iso_rggb = rggb
         y_off = 0 if rggb else 1
         hh = h if rggb else h - 1
         ay1 = 0 if rggb else 1
@@ -496,30 +505,34 @@ def cr2hdr20_batch(imgs, fh, cfg, cal):
             ov_arr[i] = overlap
             whites20[i] = white20_i
     else:
-        # device analysis: only per-frame scalars leave HBM
+        # device analysis: only per-frame scalars leave HBM. The stages chain
+        # on-device; everything host-side arrives in ONE device_get (each
+        # separate pull is a full host<->device round trip — the dominant
+        # cost of this path on remote-attached chips).
         from . import dualiso_analysis_dev as dev
 
-        rggb = bool(np.asarray(dev.rggb_stat(imgs[0])))
+        rggb = (
+            cached_rggb
+            if cached_rggb is not None
+            else bool(np.asarray(dev.rggb_stat(imgs[0])))
+        )
+        if cal is not None:
+            cal.dual_iso_rggb = rggb
         y_off = 0 if rggb else 1
         hh = h if rggb else h - 1
         ay1 = 0 if rggb else 1
         sub_view = imgs[:, y_off : y_off + hh, :]
         okf, ibf = dev.fields_stat_batch(sub_view, black, ay1)
         max_pix = w * hh // 2 // 9
-        wd_wb = dev.white_detect_batch(sub_view, ibf, (ay1, 0, hh, w), max_pix)
-        wdarks = np.asarray(wd_wb[0])
-        wbrights = np.asarray(wd_wb[1])
+        wd_dev_w, wb_dev_w = dev.white_detect_batch(sub_view, ibf, (ay1, 0, hh, w), max_pix)
         black20s = jnp.full(b, black * 64, jnp.int32)
-        min20s = jnp.asarray(np.minimum(wdarks, wbrights) * 64, jnp.int32)
+        min20s = (jnp.minimum(wd_dev_w, wb_dev_w) * 64).astype(jnp.int32)
         mok, a_dev, b_dev, wd_dev = dev.match_exposures_batch(
             sub_view, ibf, black20s, min20s, (hh, w), ay1
         )
-        okf = np.asarray(okf)
-        ibf = np.asarray(ibf)
-        mok = np.asarray(mok)
-        a_np = np.asarray(a_dev)
-        b_np = np.asarray(b_dev)
-        wd_np = np.asarray(wd_dev)
+        is_hdr, okf, ibf, wdarks, mok, a_np, b_np, wd_np = jax.device_get(
+            (is_hdr_dev, okf, ibf, wd_dev_w, mok, a_dev, b_dev, wd_dev)
+        )
 
         ys = np.arange(hh)
         row_bright = np.zeros((b, hh), bool)

@@ -32,6 +32,8 @@ class ClipCalibration:
     bad_pixels_done: bool = False
     focus_pixel_list: np.ndarray = None
     focus_done: bool = False
+    dual_iso_rggb: bool = None  # Bayer order is per-clip; cache the first
+    #                             batch's detection (saves a device round trip)
 
 
 def calibrate_clip(fh, cfg: ProcessingConfig) -> ClipCalibration:
