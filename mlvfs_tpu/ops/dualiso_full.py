@@ -32,7 +32,6 @@ from .luts import (
     raw2ev_lut20,
     ev2raw_lut20,
     fullres_curve,
-    raw2ev_lutf,
 )
 from .chroma_smooth import chroma_smooth_image
 from . import dualiso_analysis as analysis
@@ -72,8 +71,8 @@ def _row_shift(arr, s, mag):
 # ------------------------------------------------------------------ checks
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3))
-def hdr_check_batch(imgs, lutf, black: int, white: int):
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def hdr_check_batch(imgs, black: int, white: int):
     """Quick interlaced-exposure detector (hdr_check, hdr.c:407-439).
 
     The raw2evf table is log2(p-black)*EVR with -inf at p==black and 0
@@ -253,7 +252,6 @@ def _reconstruct_one(
     lut,
     ev2raw0,
     frcurve,
-    lutf_unused,
     *,
     black20: int,
     white20: int,
@@ -409,7 +407,7 @@ def reconstruct_batch(
         exact_luts=exact_luts,
         white_ev=white_ev,
     )
-    return jax.vmap(lambda im, r, ss, aa, bb, wd, ce, ov: fn(im, r, ss, aa, bb, wd, ce, ov, lut, ev2raw0, frcurve, None))(
+    return jax.vmap(lambda im, r, ss, aa, bb, wd, ce, ov: fn(im, r, ss, aa, bb, wd, ce, ov, lut, ev2raw0, frcurve))(
         imgs, row_bright, s, a, b20, white_darkened, corr_ev, overlap
     )
 
@@ -423,8 +421,7 @@ def cr2hdr20_batch(imgs, fh, cfg, cal):
     black, white14 = ri.black_level, ri.white_level
     b, h, w = imgs.shape
 
-    lutf = jnp.asarray(np.asarray(raw2ev_lutf(black), np.float32))
-    is_hdr_dev = hdr_check_batch(imgs, lutf, black, white14)  # pulled later
+    is_hdr_dev = hdr_check_batch(imgs, black, white14)  # pulled later
 
     # focus + optional bad pixels, horizontal mode (cr2hdr20, hdr.c:1942-1948)
     from . import pixels as pixel_ops
