@@ -30,7 +30,7 @@ def _load():
             return _lib
         if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < os.path.getmtime(_SRC):
             subprocess.run(
-                ["g++", "-O3", "-fPIC", "-shared", "-std=c++17", "-o", _LIB, _SRC],
+                ["g++", "-O3", "-march=native", "-funroll-loops", "-fPIC", "-shared", "-std=c++17", "-o", _LIB, _SRC],
                 check=True,
                 capture_output=True,
             )
