@@ -111,7 +111,10 @@ def write_mlv(path: str, spec: SynthSpec = None, frame_data=None, **kw) -> Synth
         spec = SynthSpec(**kw)
     rng = np.random.default_rng(spec.seed)
     if frame_data is None:
-        frame_data = np.stack([make_frame_data(spec, rng) for _ in range(spec.frames)])
+        if spec.frames == 0:
+            frame_data = np.zeros((0, spec.height, spec.width), np.uint16)
+        else:
+            frame_data = np.stack([make_frame_data(spec, rng) for _ in range(spec.frames)])
     f, h, w = frame_data.shape
 
     mlvi = mlv.new_block(mlv.MLVI, b"MLVI")

@@ -199,3 +199,19 @@ def test_chunk_guid_mismatch_excluded(tmp_path):
         f.write(hdr.tobytes())
     with MLVClip(src, use_sidecar=False) as clip:
         assert clip.frame_count == 3
+
+
+def test_stale_idx_rebuild(tmp_path):
+    """A sidecar with no VIDF entries forces a rebuild
+    (mlv_get_frame_count fallback, index.c:506-522)."""
+    src = str(tmp_path / "S.MLV")
+    synth.write_mlv(src, width=320, height=96, frames=0)
+    with MLVClip(src) as clip:  # writes an .IDX with zero VIDFs
+        assert clip.frame_count == 0
+    assert os.path.isfile(idx_path(src))
+    stale = open(idx_path(src), "rb").read()
+    synth.write_mlv(src, width=320, height=96, frames=4)
+    with open(idx_path(src), "wb") as f:
+        f.write(stale)  # restore the stale sidecar
+    with MLVClip(src) as clip:
+        assert clip.frame_count == 4  # rebuilt, not trusted
