@@ -231,28 +231,19 @@ class ClipConverter:
                 imgs = self.decode_batch(indices, fetched)
             with StageTimer("process"):
                 imgs, info = self.process_batch(imgs, indices)
-            with StageTimer("readback"):
-                imgs_np = np.asarray(jax.device_get(imgs), "<u2")
-            metrics.count("frames", len(indices))
-            metrics.count("bytes_out", int(imgs_np.nbytes))
+            # readback + header synthesis + file IO run on the write pool so
+            # the device->host transfer of batch N overlaps batch N+1's
+            # decode/process (the transfer is the main per-batch sync point)
+            pending.append(
+                self._write_pool.submit(
+                    self._finish_batch, outdir, basename, indices, imgs, info
+                )
+            )
+            for i in indices:
+                paths.append(
+                    os.path.join(outdir, dng_frame_name(basename, i, name_scheme=cfg.name_scheme))
+                )
             done += len(indices)
-            for bi, i in enumerate(indices):
-                fh = clip.frame_headers(i)
-                self._apply_info(fh, info, bi)
-                name = dng_frame_name(basename, i, name_scheme=cfg.name_scheme)
-                path = os.path.join(outdir, name)
-                if cfg.compress == "lj92":
-                    pending.append(
-                        self._write_pool.submit(
-                            self._write_dng_lj92, path, fh, cfg.fps, basename, imgs_np[bi]
-                        )
-                    )
-                else:
-                    header = dng_emit.build_dng_header(fh, cfg.fps, basename)
-                    pending.append(
-                        self._write_pool.submit(self._write_dng, path, header, imgs_np[bi])
-                    )
-                paths.append(path)
             if progress:
                 progress(done, len(frames))
         for fut in pending:
@@ -262,6 +253,25 @@ class ClipConverter:
 
             calibration.save_from(self._calibration, clip.path, clip.guid, cfg)
         return sorted(paths)
+
+    def _finish_batch(self, outdir, basename, indices, imgs, info):
+        """Write-pool task: pull the batch to host and write its DNGs."""
+        from ..utils import StageTimer, metrics
+
+        cfg = self.config
+        with StageTimer("readback"):
+            imgs_np = np.asarray(jax.device_get(imgs), "<u2")
+        metrics.count("frames", len(indices))
+        metrics.count("bytes_out", int(imgs_np.nbytes))
+        for bi, i in enumerate(indices):
+            fh = self.clip.frame_headers(i)
+            self._apply_info(fh, info, bi)
+            path = os.path.join(outdir, dng_frame_name(basename, i, name_scheme=cfg.name_scheme))
+            if cfg.compress == "lj92":
+                self._write_dng_lj92(path, fh, cfg.fps, basename, imgs_np[bi])
+            else:
+                header = dng_emit.build_dng_header(fh, cfg.fps, basename)
+                self._write_dng(path, header, imgs_np[bi])
 
     @staticmethod
     def _write_dng(path: str, header: bytes, img: np.ndarray):
