@@ -122,7 +122,11 @@ def cmd_convert(args) -> int:
             print(f"error: no such file: {clip_path}", file=sys.stderr)
             return 1
         print(f"converting {base} -> {outdir}")
-        paths = convert_clip(clip_path, outdir, config)
+        try:
+            paths = convert_clip(clip_path, outdir, config)
+        except OSError as e:
+            print(f"error: failed converting {base}: {e}", file=sys.stderr)
+            return 1
         total_frames += len(paths)
     dt = time.time() - t0
     print(f"done: {total_frames} frames in {dt:.2f}s ({total_frames / max(dt, 1e-9):.1f} fps)")

@@ -57,7 +57,9 @@ class _Metrics:
 
     def report(self) -> str:
         snap = self.snapshot()
-        lines = []
+        # stages run concurrently (readback/write overlap the next batch's
+        # decode/process), so stage times do not sum to wall-clock
+        lines = ["  (stages overlap; columns do not sum to wall time)"]
         frames = snap["counters"].get("frames", 0)
         for stage, secs in sorted(snap["stage_seconds"].items()):
             per = f" ({frames / secs:.1f} fps)" if frames and secs > 0 else ""
