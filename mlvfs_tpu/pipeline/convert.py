@@ -84,32 +84,43 @@ class ClipConverter:
     # ------------------------------------------------------------------ #
 
     def _decode_batch_host(self, indices):
-        """Host-side decode for compressed clips → (B, H, W) uint16."""
+        """Host-side decode for compressed clips → (B, H, W) uint16.
+
+        Codec failures are isolated per frame like the reference
+        (get_image_data logs 'LZMA Failed!' / 'LJ92: Failed' and leaves the
+        frame blank, main.c:598-681) — one corrupt frame must not kill the
+        conversion of the rest of the clip.
+        """
+        from ..utils import log
+
         fh = self.fh0
         h, w = fh.yres, fh.xres
         comp = fh.compression
-        out = np.empty((len(indices), h, w), np.uint16)
+        if comp not in ("lzma", "lj92"):
+            raise ValueError(f"unknown compression {comp}")
+        out = np.zeros((len(indices), h, w), np.uint16)
         for bi, i in enumerate(indices):
             payload = np.asarray(self.clip.frame_payload(i))
-            if comp == "lzma":
-                out_size = int(payload[:4].view("<u4")[0])
-                props = payload[4:9].tobytes()
-                body = payload[9:].tobytes()
-                dec = lzma.LZMADecompressor(
-                    format=lzma.FORMAT_ALONE,
-                    # FORMAT_ALONE header: props + uncompressed size (-1 = unknown)
-                )
-                raw = dec.decompress(props + b"\xff" * 8 + body, max_length=out_size)
-                out[bi] = np.frombuffer(raw, "<u2", h * w).reshape(h, w)
-            elif comp == "lj92":
-                from ..codecs import lj92 as lj92_codec
+            try:
+                if comp == "lzma":
+                    out_size = int(payload[:4].view("<u4")[0])
+                    props = payload[4:9].tobytes()
+                    body = payload[9:].tobytes()
+                    dec = lzma.LZMADecompressor(
+                        format=lzma.FORMAT_ALONE,
+                        # FORMAT_ALONE header: props + uncompressed size (-1 = unknown)
+                    )
+                    raw = dec.decompress(props + b"\xff" * 8 + body, max_length=out_size)
+                    out[bi] = np.frombuffer(raw, "<u2", h * w).reshape(h, w)
+                else:
+                    from ..codecs import lj92 as lj92_codec
 
-                samples, _, _, _, _ = lj92_codec.decode(payload[4:].tobytes())
-                out[bi] = np.asarray(
-                    unpack_ops.lj92_detile(jnp.asarray(samples.reshape(h, w)))
-                )
-            else:
-                raise ValueError(f"unknown compression {comp}")
+                    samples, _, _, _, _ = lj92_codec.decode(payload[4:].tobytes())
+                    out[bi] = np.asarray(
+                        unpack_ops.lj92_detile(jnp.asarray(samples.reshape(h, w)))
+                    )
+            except Exception as e:  # corrupt stream: drop the frame, keep going
+                log.error("%s decode failed for frame %d: %s", comp, i, e)
         return out
 
     def _gather_packed_batch(self, indices):

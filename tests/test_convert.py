@@ -181,3 +181,30 @@ def test_calibration_sidecar(tmp_path):
         a = open(tmp_path / "a" / name, "rb").read()
         b = open(tmp_path / "b" / name, "rb").read()
         assert a == b
+
+
+def test_corrupt_lzma_frame_isolated(tmp_path):
+    """A corrupt compressed frame is dropped (blank DNG), the rest convert
+    (get_image_data error isolation, main.c:598-616)."""
+    src = str(tmp_path / "LZC.MLV")
+    spec = synth.write_mlv(src, width=320, height=96, frames=3, compression="lzma")
+    # corrupt frame 1's LZMA stream body (after the VIDF header + size/props)
+    import numpy as np
+    from mlvfs_tpu.format import mlv as mlv_mod
+
+    with MLVClip(src, use_sidecar=False) as clip:
+        vidf_offs = [
+            int(e["frameOffset"])
+            for e in clip.xref
+            if int(e["frameType"]) == mlv_mod.FRAME_VIDF
+        ]
+    with open(src, "r+b") as f:
+        f.seek(vidf_offs[1] + 32 + 20)  # into frame 1's compressed payload
+        f.write(b"\x00" * 32)
+    paths = convert_clip(src, str(tmp_path / "out"), ProcessingConfig(batch_size=3))
+    assert len(paths) == 3
+    expected = synth.make_frame_data(spec, np.random.default_rng(spec.seed))
+    _, img0 = _read_dng(paths[0])
+    np.testing.assert_array_equal(img0.reshape(96, 320), expected)  # frame 0 intact
+    _, img1 = _read_dng(paths[1])
+    assert img1.max() == 0  # dropped frame is blank, not garbage
