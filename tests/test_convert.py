@@ -208,3 +208,15 @@ def test_corrupt_lzma_frame_isolated(tmp_path):
     np.testing.assert_array_equal(img0.reshape(96, 320), expected)  # frame 0 intact
     _, img1 = _read_dng(paths[1])
     assert img1.max() == 0  # dropped frame is blank, not garbage
+
+
+def test_cli_convert_directory(tmp_path):
+    """--mlv-dir converts every clip into per-clip subdirectories."""
+    from mlvfs_tpu.cli import main
+
+    for name in ("A1.MLV", "A2.MLV"):
+        synth.write_mlv(str(tmp_path / name), width=128, height=32, frames=2)
+    out = str(tmp_path / "out")
+    assert main(["convert", f"--mlv-dir={tmp_path}", "-o", out]) == 0
+    assert sorted(os.listdir(out)) == ["A1", "A2"]
+    assert len(os.listdir(os.path.join(out, "A1"))) == 2

@@ -36,7 +36,7 @@ def _psnr(a, b, peak=65535.0):
     return np.inf if mse == 0 else 10 * np.log10(peak * peak / mse)
 
 
-@pytest.mark.parametrize("phase", [0, 1])
+@pytest.mark.parametrize("phase", [0, 1, 2, 3])
 def test_preview_parity(tmp_path, phase):
     fh, spec, img = _dual_clip(tmp_path, phase=phase)
     ref, ok, ref_black, ref_white = oracle.hdr_preview(fh, img)
