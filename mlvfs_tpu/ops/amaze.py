@@ -143,20 +143,24 @@ def amaze_edge_interpolate(
         # sum_{j=-5..5} d(x+j) = c(x+5) - c(x-6); int32 wraparound is exact
         return _sh(c, 0, SEARCH_AREA) - _sh(c, 0, -SEARCH_AREA - 1)
 
-    e_all = []
-    for (ack, a, b, bck) in EDGE_DIRECTIONS:
+    # running argmin over directions — never materializes the (12, h, w)
+    # score stack, letting XLA fuse each direction's taps into the compare
+    best = None
+    d_best = None
+    for di, (ack, a, b, bck) in enumerate(EDGE_DIRECTIONS):
         p1 = _sh(T[ack[1]], 0, ack[0])
         p2 = _sh(T[a[1]], 0, a[0])
         p3 = _sh(T[b[1]], 0, b[0])
         p4 = _sh(T[bck[1]], 0, bck[0])
         d = jnp.abs(p1 - p2) + jnp.abs(p2 - p3) + jnp.abs(p3 - p4)
-        e_all.append(box11(d))
-    e_stack = jnp.stack(e_all)  # (12, h, w)
-    penalty = jnp.asarray(
-        [abs(d - D0) * EV_RESOLUTION // 8 for d in range(len(EDGE_DIRECTIONS))], jnp.int32
-    )
-    scores = e_stack + penalty[:, None, None]
-    d_best = jnp.argmin(scores, axis=0).astype(jnp.int32)
+        score = box11(d) + abs(di - D0) * EV_RESOLUTION // 8
+        if best is None:
+            best, d_best = score, jnp.zeros_like(score)
+        else:
+            take = score < best  # argmin keeps the first minimum
+            best = jnp.where(take, score, best)
+            d_best = jnp.where(take, di, d_best)
+    d_best = d_best.astype(jnp.int32)
     d_best = jnp.where(restricted, D0, d_best)
     # edge_direction defaults to d0 outside the scored window (hdr.c:1065-1069)
     window = (yy >= 5) & (yy < h - 5) & (xx >= 5) & (xx < w - 5)
@@ -180,26 +184,24 @@ def amaze_edge_interpolate(
     EW_a = ev_class(1)    # 'a' taps are always at y + s
     EW_b = ev_class(-2)   # 'b' taps are always at y - 2s
 
-    pi_all = []
-    for (ack, a, b, bck) in EDGE_DIRECTIONS:
+    nd = len(EDGE_DIRECTIONS)
+    idx0 = d_best
+    idxp = jnp.minimum(d_best + 1, nd - 1)
+    idxm = jnp.maximum(d_best - 1, 0)
+    # accumulate the three per-pixel selections in one pass over directions
+    # (select chain, not take_along_axis — gathers serialize on TPU) without
+    # materializing the (12, h, w) candidate stack
+    pi0 = pip = pim = None
+    for di, (ack, a, b, bck) in enumerate(EDGE_DIRECTIONS):
         eva = _sh(EW_a, 0, a[0])
         evb = _sh(EW_b, 0, b[0])
-        pi_all.append(_tdiv(eva * 2 + evb, 3))
-    pi_stack = jnp.stack(pi_all)  # (12, h, w)
-
-    nd = len(EDGE_DIRECTIONS)
-
-    def pick(idx):
-        # per-pixel gather over the direction axis as a select chain —
-        # take_along_axis lowers to a serialized gather on TPU
-        acc = pi_stack[0]
-        for d in range(1, nd):
-            acc = jnp.where(idx == d, pi_stack[d], acc)
-        return acc
-
-    pi0 = pick(d_best)
-    pip = pick(jnp.minimum(d_best + 1, nd - 1))
-    pim = pick(jnp.maximum(d_best - 1, 0))
+        val = _tdiv(eva * 2 + evb, 3)
+        if pi0 is None:
+            pi0 = pip = pim = val
+        else:
+            pi0 = jnp.where(idx0 == di, val, pi0)
+            pip = jnp.where(idxp == di, val, pip)
+            pim = jnp.where(idxm == di, val, pim)
     interp_val = ev2raw_at(_tdiv(2 * pi0 + pip + pim, 4))
 
     region = (yy >= 2) & (yy <= h - 3) & (xx >= 2) & (xx <= w - 3)
