@@ -82,9 +82,13 @@ class Dashboard:
         if field is None:
             return False
         attr, conv = field
+        try:
+            converted = conv(value)
+        except (ValueError, TypeError):
+            return False  # bad value → 400, config untouched
         with self._lock:
             # immutable snapshot swap — no reader/writer race
-            new_cfg = dataclasses.replace(self.config, **{attr: conv(value)})
+            new_cfg = dataclasses.replace(self.config, **{attr: converted})
             self.vfs.config = new_cfg
             self.vfs.buffers.clear()  # cached buffers were built with old options
         return True

@@ -112,3 +112,38 @@ def test_dashboard_endpoints(mlv_dir):
     finally:
         server.shutdown()
         server.server_close()
+
+
+def test_dashboard_rejects_unknown_params(mlv_dir):
+    """/set_value ignores unknown/invalid options without corrupting config."""
+    from mlvfs_tpu.server import Dashboard, make_handler
+    from http.server import ThreadingHTTPServer
+
+    import urllib.error
+
+    dash = Dashboard(mlv_dir)
+    server = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(dash))
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{port}"
+
+        def code_of(url):
+            try:
+                urllib.request.urlopen(url)
+                return 200
+            except urllib.error.HTTPError as e:
+                return e.code
+
+        assert code_of(f"{base}/set_value?no_such_option=1") == 400
+        assert code_of(f"{base}/set_value?chroma_smooth=banana") == 400
+        assert code_of(f"{base}/set_value?chroma_smooth=2") == 200
+        vals = json.loads(urllib.request.urlopen(f"{base}/get_value").read())
+        assert vals["chroma_smooth"] == 2
+        assert "no_such_option" not in vals
+        # 404 for nonsense paths
+        assert code_of(f"{base}/../etc/passwd") == 404
+    finally:
+        server.shutdown()
+        server.server_close()
