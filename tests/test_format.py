@@ -215,3 +215,18 @@ def test_stale_idx_rebuild(tmp_path):
         f.write(stale)  # restore the stale sidecar
     with MLVClip(src) as clip:
         assert clip.frame_count == 4  # rebuilt, not trusted
+
+
+def test_garbage_file_no_crash(tmp_path):
+    """Random bytes behind a valid magic (or none) must not crash the
+    reader — worst case is an empty index."""
+    rng = np.random.default_rng(42)
+    for i, prefix in enumerate([b"", b"MLVI", b"MLVI" + bytes(48)]):
+        src = str(tmp_path / f"G{i}.MLV")
+        with open(src, "wb") as f:
+            f.write(prefix + rng.bytes(4096))
+        try:
+            with MLVClip(src, use_sidecar=False) as clip:
+                assert clip.frame_count >= 0
+        except (ValueError, KeyError) as e:
+            pass  # a clean parse error is acceptable; a crash is not
