@@ -230,8 +230,10 @@ def write_mlv(path: str, spec: SynthSpec = None, frame_data=None, **kw) -> Synth
     for i in range(f):
         pixels = frame_data[i].ravel()
         if spec.compression == "lzma":
-            raw16 = pixels.astype("<u2").tobytes()
-            payload = _lzma_compress_payload(raw16)
+            # real LZMA MLVs compress the *packed* bpp bitstream; the reader
+            # decompresses then bit-unpacks (main.c:605-611 → dng_get_image_data)
+            packed = pack_bits_np(pixels, spec.bpp).astype("<u2").tobytes()
+            payload = _lzma_compress_payload(packed)
         elif spec.compression == "lj92":
             # real LJ92 MLV streams store the frame 2D-tiled; the reader
             # undoes it after decode (main.c:652-668)

@@ -84,7 +84,7 @@ class ClipConverter:
     # ------------------------------------------------------------------ #
 
     def _decode_batch_host(self, indices):
-        """Host-side decode for compressed clips → (B, H, W) uint16.
+        """Host-side decode for LJ92 clips → (B, H, W) uint16 samples.
 
         Codec failures are isolated per frame like the reference
         (get_image_data logs 'LZMA Failed!' / 'LJ92: Failed' and leaves the
@@ -95,32 +95,50 @@ class ClipConverter:
 
         fh = self.fh0
         h, w = fh.yres, fh.xres
-        comp = fh.compression
-        if comp not in ("lzma", "lj92"):
-            raise ValueError(f"unknown compression {comp}")
         out = np.zeros((len(indices), h, w), np.uint16)
         for bi, i in enumerate(indices):
             payload = np.asarray(self.clip.frame_payload(i))
             try:
-                if comp == "lzma":
-                    out_size = int(payload[:4].view("<u4")[0])
-                    props = payload[4:9].tobytes()
-                    body = payload[9:].tobytes()
-                    dec = lzma.LZMADecompressor(
-                        format=lzma.FORMAT_ALONE,
-                        # FORMAT_ALONE header: props + uncompressed size (-1 = unknown)
-                    )
-                    raw = dec.decompress(props + b"\xff" * 8 + body, max_length=out_size)
-                    out[bi] = np.frombuffer(raw, "<u2", h * w).reshape(h, w)
-                else:
-                    from ..codecs import lj92 as lj92_codec
+                from ..codecs import lj92 as lj92_codec
 
-                    samples, _, _, _, _ = lj92_codec.decode(payload[4:].tobytes())
-                    out[bi] = np.asarray(
-                        unpack_ops.lj92_detile(jnp.asarray(samples.reshape(h, w)))
-                    )
+                samples, _, _, _, _ = lj92_codec.decode(payload[4:].tobytes())
+                out[bi] = np.asarray(
+                    unpack_ops.lj92_detile(jnp.asarray(samples.reshape(h, w)))
+                )
             except Exception as e:  # corrupt stream: drop the frame, keep going
-                log.error("%s decode failed for frame %d: %s", comp, i, e)
+                log.error("lj92 decode failed for frame %d: %s", i, e)
+        return out
+
+    def _lzma_batch_host(self, indices):
+        """Host LZMA decompress → packed word streams (B, n_words).
+
+        The reference passes LzmaUncompress output straight to
+        dng_get_image_data (main.c:605-611): the decompressed bytes are the
+        *packed* bpp bitstream, which then takes the same device bit-unpack
+        as uncompressed clips.
+        """
+        from ..utils import log
+
+        fh = self.fh0
+        n_words = unpack_ops.words_for_pixels(
+            fh.yres * fh.xres, fh.raw_info.bits_per_pixel
+        )
+        out = np.zeros((len(indices), n_words), "<u2")
+        for bi, i in enumerate(indices):
+            payload = np.asarray(self.clip.frame_payload(i))
+            try:
+                out_size = int(payload[:4].view("<u4")[0])
+                props = payload[4:9].tobytes()
+                body = payload[9:].tobytes()
+                dec = lzma.LZMADecompressor(
+                    format=lzma.FORMAT_ALONE,
+                    # FORMAT_ALONE header: props + uncompressed size (-1 = unknown)
+                )
+                packed = dec.decompress(props + b"\xff" * 8 + body, max_length=out_size)
+                words = np.frombuffer(packed, "<u2", len(packed) // 2)
+                out[bi, : min(n_words, len(words))] = words[:n_words]
+            except Exception as e:  # corrupt stream: drop the frame, keep going
+                log.error("lzma decode failed for frame %d: %s", i, e)
         return out
 
     def _gather_packed_batch(self, indices):
@@ -156,15 +174,21 @@ class ClipConverter:
     def fetch_batch(self, indices):
         """Host side of decode: gather/decode + async device transfer.
         Runs on the prefetch thread (stream.BatchPrefetcher)."""
-        if self.fh0.compression == "none":
+        comp = self.fh0.compression
+        if comp == "none":
             return self._put(self._gather_packed_batch(indices))
-        return self._put(self._decode_batch_host(indices))
+        if comp == "lzma":
+            return self._put(self._lzma_batch_host(indices))
+        if comp == "lj92":
+            return self._put(self._decode_batch_host(indices))
+        raise ValueError(f"unknown compression {comp}")
 
     def decode_batch(self, indices, fetched=None) -> jnp.ndarray:
         """Decode frames → device array (B, H, W) uint16 (pre-processing)."""
         if fetched is None:
             fetched = self.fetch_batch(indices)
-        if self.fh0.compression == "none":
+        if self.fh0.compression in ("none", "lzma"):
+            # both carry the packed bpp bitstream → device bit-unpack
             return self._unpack_jit(fetched)
         return fetched
 

@@ -70,6 +70,29 @@ def test_convert_lzma(tmp_path):
     np.testing.assert_array_equal(img0.reshape(spec.height, spec.width), expected)
 
 
+def test_lzma_payload_is_packed_bitstream(tmp_path):
+    """Pin the LZMA payload convention against the uncompressed writer, not
+    just synth↔reader self-consistency: LzmaUncompress output feeds the bpp
+    bit-unpack in the reference (main.c:605-611 → dng_get_image_data), so the
+    decompressed bytes must equal the packed VIDF payload bit-for-bit."""
+    import lzma as _lzma
+
+    a = str(tmp_path / "RAW.MLV")
+    b = str(tmp_path / "LZ.MLV")
+    synth.write_mlv(a, width=128, height=32, frames=1, compression="none")
+    synth.write_mlv(b, width=128, height=32, frames=1, compression="lzma")
+    with MLVClip(a, use_sidecar=False) as ca, MLVClip(b, use_sidecar=False) as cb:
+        packed = np.asarray(ca.frame_payload(0)).tobytes()
+        payload = np.asarray(cb.frame_payload(0))
+        out_size = int(payload[:4].view("<u4")[0])
+        props = payload[4:9].tobytes()
+        body = payload[9:].tobytes()
+        dec = _lzma.LZMADecompressor(format=_lzma.FORMAT_ALONE)
+        raw = dec.decompress(props + b"\xff" * 8 + body, max_length=out_size)
+    assert out_size == len(packed)
+    assert raw == packed
+
+
 def test_convert_deflicker(tmp_path):
     src = str(tmp_path / "DF.MLV")
     spec = synth.write_mlv(src, width=320, height=96, frames=2)
