@@ -200,7 +200,8 @@ def cmd_log(args) -> int:
 def cmd_serve(args) -> int:
     from .server import serve
 
-    serve(args.mlv_dir or args.input, port=int(args.port), config=config_from_args(args))
+    serve(args.mlv_dir or args.input, port=int(args.port),
+          config=config_from_args(args), host=args.bind)
     return 0
 
 
@@ -238,6 +239,9 @@ def main(argv=None) -> int:
     p_serve.add_argument("input", nargs="?")
     p_serve.add_argument("--mlv_dir", "--mlv-dir", dest="mlv_dir")
     p_serve.add_argument("--port", default="8000")
+    p_serve.add_argument("--bind", default="127.0.0.1",
+                         help="dashboard bind address (default loopback; "
+                              "0.0.0.0 exposes the VFS over the network)")
     _add_processing_flags(p_serve)
     p_serve.set_defaults(func=cmd_serve)
 

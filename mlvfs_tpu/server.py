@@ -91,6 +91,7 @@ class Dashboard:
             new_cfg = dataclasses.replace(self.config, **{attr: converted})
             self.vfs.config = new_cfg
             self.vfs.buffers.clear()  # cached buffers were built with old options
+            self.vfs.drop_converters()  # converters cache the old config snapshot
         return True
 
     def clip_row(self, name: str) -> str:
@@ -155,14 +156,23 @@ def make_handler(dash: Dashboard):
                     self._send(200, dash.clip_row(clip))
                 elif path.endswith("_PREVIEW.gif"):
                     clip = path[1 : -len("_PREVIEW.gif")]
-                    data = dash.vfs.read(f"/{clip}/{clip[:-4]}_PREVIEW.gif")
+                    vp = f"/{clip}/{clip[:-4]}_PREVIEW.gif"
+                    try:
+                        data = dash.vfs.read(vp)
+                    finally:
+                        # drop our ref so the buffer cache can evict it —
+                        # HTTP has no 'release' callback like FUSE does
+                        dash.vfs.release(vp)
                     self._send(200, data, "image/gif")
                 elif path == "/" or path == "/index.html":
                     self._send(200, dash.index_page())
                 else:
                     # fall through to the virtual filesystem
                     try:
-                        data = dash.vfs.read(path)
+                        try:
+                            data = dash.vfs.read(path)
+                        finally:
+                            dash.vfs.release(path)
                         self._send(200, data, "application/octet-stream")
                     except FileNotFoundError:
                         self._send(404, "not found")
@@ -172,10 +182,13 @@ def make_handler(dash: Dashboard):
     return Handler
 
 
-def serve(mlv_dir: str, port: int = 8000, config: ProcessingConfig = None):
+def serve(mlv_dir: str, port: int = 8000, config: ProcessingConfig = None,
+          host: str = "127.0.0.1"):
+    """Run the dashboard. Binds to loopback by default — the VFS fall-through
+    serves file contents, so exposing it is an explicit opt-in (--bind)."""
     dash = Dashboard(mlv_dir, config)
-    server = ThreadingHTTPServer(("0.0.0.0", port), make_handler(dash))
-    print(f"mlvfs-tpu dashboard on http://localhost:{port}/ ({mlv_dir})")
+    server = ThreadingHTTPServer((host, port), make_handler(dash))
+    print(f"mlvfs-tpu dashboard on http://{host}:{port}/ ({mlv_dir})")
     try:
         server.serve_forever()
     except KeyboardInterrupt:

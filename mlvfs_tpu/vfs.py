@@ -146,7 +146,29 @@ class VirtualFS:
                 self._converters[mlv_path] = conv
             return conv
 
+    def drop_converters(self):
+        """Discard converters (and their cached config/calibration/jit state)
+        so the next build picks up a new config snapshot. Without this,
+        option changes were silently ignored for already-rendered clips."""
+        with self._lock:
+            convs = list(self._converters.values())
+            self._converters.clear()
+        for conv in convs:
+            conv.close()
+
     # -- resolution -----------------------------------------------------------
+
+    def _confined(self, base: str, relpath: str):
+        """realpath(base/relpath) iff it stays inside base, else None.
+
+        Every virtual path that maps onto the host filesystem goes through
+        here: without it, a request like ``/../../etc/passwd`` would escape
+        the namespace root (and the dashboard serves vfs.read over HTTP)."""
+        root = os.path.realpath(base)
+        real = os.path.realpath(os.path.join(root, relpath))
+        if real == root or real.startswith(root + os.sep):
+            return real
+        return None
 
     def resolve(self, vpath: str):
         """Virtual path → (mlv_path | None, path_inside | None, real_path | None)."""
@@ -160,13 +182,17 @@ class VirtualFS:
             mlv_name = self._mlv_from_virtual_dir(parts[i - 1])
             if mlv_name is not None:
                 prefix = "/".join(parts[: i - 1] + [mlv_name])
-                real = os.path.join(self.mlv_dir, prefix)
-                if os.path.isfile(real):
+                real = self._confined(self.mlv_dir, prefix)
+                if real is not None and os.path.isfile(real):
                     return real, "/".join(parts[i:]), None
-        real = os.path.join(self.mlv_dir, vpath)
-        if os.path.exists(real):
+        real = self._confined(self.mlv_dir, vpath)
+        if real is not None and os.path.exists(real):
             return None, None, real
         return None, None, None
+
+    def _mld_sub(self, mlv_path: str, inside: str):
+        """Confined path inside the clip's .MLD sidecar dir, or None."""
+        return self._confined(mlv_path[:-4] + ".MLD", inside)
 
     # -- listing ----------------------------------------------------------------
 
@@ -184,9 +210,8 @@ class VirtualFS:
             return out
         if inside:
             # inside a clip: only the .MLD sidecar passthrough has subpaths
-            mld = mlv_path[:-4] + ".MLD"
-            sub = os.path.join(mld, inside)
-            if os.path.isdir(sub):
+            sub = self._mld_sub(mlv_path, inside)
+            if sub is not None and os.path.isdir(sub):
                 return sorted(os.listdir(sub))
             raise FileNotFoundError(vpath)
         clip = self._clip(mlv_path)
@@ -225,9 +250,8 @@ class VirtualFS:
             return False, gif_size(fh.xres, fh.yres)
         if name.endswith(".log"):
             return False, len(clip.debug_log().encode())
-        mld = mlv_path[:-4] + ".MLD"
-        sub = os.path.join(mld, inside)
-        if os.path.exists(sub):
+        sub = self._mld_sub(mlv_path, inside)
+        if sub is not None and os.path.exists(sub):
             st = os.stat(sub)
             return os.path.isdir(sub), st.st_size
         raise FileNotFoundError(vpath)
@@ -260,9 +284,8 @@ class VirtualFS:
             return self.buffers.get_or_create(key, lambda: build_gif(clip))
         if name.endswith(".log"):
             return clip.debug_log().encode()
-        mld = mlv_path[:-4] + ".MLD"
-        sub = os.path.join(mld, inside)
-        if os.path.isfile(sub):
+        sub = self._mld_sub(mlv_path, inside)
+        if sub is not None and os.path.isfile(sub):
             with open(sub, "rb") as f:
                 return f.read()
         raise FileNotFoundError(vpath)

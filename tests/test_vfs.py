@@ -87,6 +87,75 @@ def test_resource_manager_eviction():
     assert v == b"rebuilt"
 
 
+def test_path_traversal_confined(mlv_dir, tmp_path):
+    """Virtual paths cannot escape the namespace root (ADVICE r1: the
+    dashboard's VFS fall-through served GET /../../etc/passwd)."""
+    secret = tmp_path / "secret.txt"
+    secret.write_text("top secret")
+    fs = VirtualFS(mlv_dir)
+    for vp in (
+        "/../secret.txt",
+        "../secret.txt",
+        "/a/../../secret.txt",
+        "/M01-0001.MLV/../../secret.txt",
+        "/../../etc/passwd",
+    ):
+        with pytest.raises(FileNotFoundError):
+            fs.read(vp)
+        with pytest.raises(FileNotFoundError):
+            fs.getattr(vp)
+    # .MLD passthrough is confined to the sidecar dir
+    with pytest.raises(FileNotFoundError):
+        fs.read("/M01-0001.MLV/../../secret.txt")
+    # legitimate paths still resolve
+    assert fs.read("/notes.txt") == b"hello"
+    assert fs.read("/M01-0001.MLV/sidecar.xmp") == b"<xmp/>"
+
+
+def test_set_value_invalidates_converters(mlv_dir):
+    """Option changes must rebuild converters, not just byte buffers
+    (ADVICE r1: cached ProcessingConfig made set_value a silent no-op
+    for clips already rendered)."""
+    from mlvfs_tpu.server import Dashboard
+
+    dash = Dashboard(mlv_dir)
+    vp = "/M01-0001.MLV/M01-0001_000000.dng"
+    before = dash.vfs.read(vp)
+    dash.vfs.release(vp)
+    assert len(dash.vfs._converters) == 1
+    assert dash.set_value("chroma_smooth", "3")
+    assert len(dash.vfs._converters) == 0
+    after = dash.vfs.read(vp)
+    dash.vfs.release(vp)
+    conv = next(iter(dash.vfs._converters.values()))
+    assert conv.config.chroma_smooth == 3
+    assert before[:4] == after[:4] == b"II\x2a\x00"
+    assert before[HEADER_SIZE:] != after[HEADER_SIZE:]  # pixels re-rendered
+
+
+def test_http_reads_release_buffers(mlv_dir):
+    """Serving a virtual file over HTTP must not pin its buffer forever
+    (ADVICE r1: refs never released → eviction could not reclaim)."""
+    import urllib.request
+    from http.server import ThreadingHTTPServer
+
+    from mlvfs_tpu.server import Dashboard, make_handler
+
+    dash = Dashboard(mlv_dir)
+    server = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(dash))
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{port}"
+        urllib.request.urlopen(f"{base}/M01-0001.MLV/M01-0001_000000.dng").read()
+        urllib.request.urlopen(f"{base}/M01-0001.MLV_PREVIEW.gif").read()
+        assert all(e["refs"] == 0 for e in dash.vfs.buffers._entries.values())
+    finally:
+        server.shutdown()
+        server.server_close()
+
+
 def test_dashboard_endpoints(mlv_dir):
     from mlvfs_tpu.server import Dashboard, make_handler
     from http.server import ThreadingHTTPServer
