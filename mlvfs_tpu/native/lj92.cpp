@@ -71,6 +71,12 @@ struct Huff {
             for (int i = 0; i < counts[len - 1]; i++) {
                 if (k >= nsym) return false;
                 uint8_t ssss = symbols[k++];
+                // SSSS classes are 0..16 in lossless JPEG; anything larger
+                // would later drive oversized shifts in the bit reader
+                if (ssss > 16) return false;
+                // corrupt counts can overflow the code space: a length-len
+                // code must fit in len bits or the LUT write runs past 64K
+                if (code >= (1u << len)) return false;
                 uint32_t base = code << (16 - len);
                 uint32_t span = 1u << (16 - len);
                 uint16_t entry = (uint16_t)((len << 8) | ssss);
@@ -92,12 +98,13 @@ struct Huff {
 };
 
 inline int extend(uint32_t v, int t) {
-    // T.81 EXTEND: map t-bit magnitude to signed difference
+    // T.81 EXTEND: map t-bit magnitude to signed difference. t is 0..16
+    // (enforced at Huffman-table build time).
     if (t == 0) return 0;
     if (t == 16) return 32768;  // special case: diff = 32768, no extra bits
     int vt = 1 << (t - 1);
     int x = (int)v;
-    if (x < vt) x += (-1 << t) + 1;
+    if (x < vt) x -= (1 << t) - 1;
     return x;
 }
 
@@ -129,6 +136,10 @@ int lj92_decode_buf(const uint8_t* data, size_t len, uint16_t* out, size_t out_c
         uint8_t marker = data[ix + 1];
         if (marker == 0xD9) break;  // EOI
         uint16_t seglen = be16(data + ix + 2);
+        // every segment read below indexes seg[0..seglen-1]: reject any
+        // segment whose declared length runs past the buffer (corrupt or
+        // truncated stream) before touching it
+        if (seglen < 2 || ix + 2 + (size_t)seglen > len) return -2;
         const uint8_t* seg = data + ix + 2;
         if (marker == 0xC4) {  // DHT — may hold several tables
             size_t p = 2;
@@ -143,21 +154,28 @@ int lj92_decode_buf(const uint8_t* data, size_t len, uint16_t* out, size_t out_c
                 p += 17 + nsym;
             }
         } else if (marker == 0xC3) {  // SOF3
+            if (seglen < 8) return -4;
             bits = seg[2];
             h = be16(seg + 3);
             w = be16(seg + 5);
             ncomp = seg[7];
             if (ncomp < 1 || ncomp > 4) return -4;
+            if (bits < 2 || bits > 16) return -4;
         } else if (marker == 0xDA) {  // SOS
+            if (seglen < 3) return -5;
             int ns = seg[2];
-            for (int i = 0; i < ns && i < 4; i++) comp_table[i] = seg[4 + 2 * i] >> 4;
+            if (ns < 1 || (size_t)(4 + 2 * ns) > (size_t)seglen) return -5;
+            for (int i = 0; i < ns && i < 4; i++) {
+                comp_table[i] = seg[4 + 2 * i] >> 4;
+                if (comp_table[i] > 3) return -5;  // indexes huff[4]
+            }
             pred = seg[3 + 2 * ns];
             scan_data = ix + 2 + seglen;
             break;
         }
         ix += 2 + seglen;
     }
-    if (!scan_data || !w || !h || !ncomp) return -5;
+    if (!scan_data || scan_data > len || !w || !h || !ncomp) return -5;
     if ((size_t)w * h * ncomp > out_cap) return -6;
     for (int c = 0; c < ncomp; c++)
         if (!have_huff[comp_table[c]]) return -3;

@@ -76,3 +76,58 @@ def test_compressed_dng_output(tmp_path):
     dec, w, h, bits, nc = lj92.decode(raw[HEADER_SIZE:])
     assert nc == 2 and w * nc == 256 and h == 64
     np.testing.assert_array_equal(dec, expected)
+
+
+def test_decode_rejects_corrupt_streams_without_crashing(rng):
+    """Bounds hardening (ADVICE r1): truncated/corrupt LJ92 streams must
+    fail with ValueError, never read out of bounds. Covers: segments whose
+    declared length runs past the buffer, truncation at every marker
+    boundary, random byte flips, and oversized DHT symbol counts."""
+    img = rng.integers(0, 1 << 14, size=(32, 64), dtype=np.uint16)
+    stream = bytearray(lj92.encode(img, ncomp=1, bits=14))
+
+    def try_decode(b):
+        try:
+            lj92.decode(bytes(b), max_pixels=1 << 16)
+        except ValueError:
+            pass
+
+    # truncate at every prefix length up to the scan data (covers marker
+    # fields straddling EOF) and a sweep of suffix truncations
+    for n in range(len(stream))[:200]:
+        try_decode(stream[:n])
+    for n in range(1, 64):
+        try_decode(stream[:-n])
+    # inflate each segment length field so it points past the buffer
+    ix = 2
+    while ix + 3 < len(stream):
+        if stream[ix] != 0xFF or stream[ix + 1] == 0xD9:
+            break
+        mutated = bytearray(stream)
+        mutated[ix + 2] = 0xFF
+        mutated[ix + 3] = 0xFF
+        try_decode(mutated)
+        seglen = (stream[ix + 2] << 8) | stream[ix + 3]
+        if stream[ix + 1] == 0xDA:
+            break
+        ix += 2 + seglen
+    # DHT with symbol counts larger than the segment
+    dht_ix = bytes(stream).find(b"\xff\xc4")
+    mutated = bytearray(stream)
+    for i in range(16):
+        mutated[dht_ix + 5 + i] = 0xFF
+    try_decode(mutated)
+    # SOS component table ids out of range
+    sos_ix = bytes(stream).find(b"\xff\xda")
+    mutated = bytearray(stream)
+    mutated[sos_ix + 5] = 0xF0
+    try_decode(mutated)
+    # random byte flips across the whole stream
+    for _ in range(300):
+        mutated = bytearray(stream)
+        for pos in rng.integers(0, len(stream), size=4):
+            mutated[pos] = int(rng.integers(0, 256))
+        try_decode(mutated)
+    # pure garbage
+    for _ in range(50):
+        try_decode(rng.integers(0, 256, size=int(rng.integers(0, 512)), dtype=np.uint8).tobytes())
