@@ -30,7 +30,7 @@ def _load():
             return _lib
         if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < os.path.getmtime(_SRC):
             subprocess.run(
-                ["g++", "-O3", "-march=native", "-funroll-loops", "-fPIC", "-shared", "-std=c++17", "-o", _LIB, _SRC],
+                ["g++", "-O3", "-march=native", "-funroll-loops", "-fPIC", "-shared", "-std=c++17", "-pthread", "-o", _LIB, _SRC],
                 check=True,
                 capture_output=True,
             )
@@ -42,6 +42,18 @@ def _load():
             ctypes.c_void_p,
             ctypes.c_size_t,
             ctypes.c_void_p,
+        ]
+        lib.lj92_decode_batch_buf.restype = ctypes.c_int
+        lib.lj92_decode_batch_buf.argtypes = [
+            ctypes.c_void_p,  # data
+            ctypes.c_void_p,  # offsets u64[n]
+            ctypes.c_void_p,  # lens u64[n]
+            ctypes.c_int,     # n_frames
+            ctypes.c_void_p,  # out u16[n*frame_samples]
+            ctypes.c_uint64,  # frame_samples
+            ctypes.c_void_p,  # dims i32[4]
+            ctypes.c_void_p,  # rcs i32[n]
+            ctypes.c_int,     # n_threads (0 = hw concurrency)
         ]
         lib.lj92_encode_buf.restype = ctypes.c_long
         lib.lj92_encode_buf.argtypes = [
@@ -83,6 +95,41 @@ def decode(data: bytes, max_pixels: int = 1 << 26):
         raise ValueError(f"LJ92 decode failed ({rc})")
     w, h, bits, ncomp = dims[0], dims[1], dims[2], dims[3]
     return out[: w * h * ncomp].reshape(h, w * ncomp).copy(), w, h, bits, ncomp
+
+
+def decode_batch(streams, frame_samples: int, n_threads: int = 0):
+    """Decode N LJ92 streams in one native call, fanned over hardware threads.
+
+    ``streams``: sequence of bytes-like objects. Returns (out, rcs) where
+    ``out`` is (N, frame_samples) uint16 (bad frames zeroed) and ``rcs`` the
+    per-frame status codes (0 = ok). One ctypes round-trip per batch; within
+    a stream Huffman decode is sequential, so parallelism is across frames.
+    """
+    lib = _load()
+    n = len(streams)
+    out = np.zeros((max(n, 1), frame_samples), np.uint16)
+    rcs = np.full(max(n, 1), -99, np.int32)
+    if n == 0:
+        return out[:0], rcs[:0]
+    lens = np.array([len(s) for s in streams], np.uint64)
+    offsets = np.zeros(n, np.uint64)
+    np.cumsum(lens[:-1], out=offsets[1:])
+    blob = np.empty(int(lens.sum()), np.uint8)
+    for i, s in enumerate(streams):
+        blob[int(offsets[i]) : int(offsets[i] + lens[i])] = np.frombuffer(s, np.uint8)
+    dims = (ctypes.c_int * 4)()
+    lib.lj92_decode_batch_buf(
+        blob.ctypes.data_as(ctypes.c_void_p),
+        offsets.ctypes.data_as(ctypes.c_void_p),
+        lens.ctypes.data_as(ctypes.c_void_p),
+        n,
+        out.ctypes.data_as(ctypes.c_void_p),
+        frame_samples,
+        dims,
+        rcs.ctypes.data_as(ctypes.c_void_p),
+        n_threads,
+    )
+    return out, rcs
 
 
 def encode(samples: np.ndarray, ncomp: int = 1, bits: int = 16) -> bytes:

@@ -123,24 +123,35 @@ class _DataArea:
     def add_timecode(self, framerate: float, frame: int) -> int:
         """SMPTE timecode bytes (add_timecode, dng.c:539-578)."""
         pos = self.offset
-        if framerate == 0:
-            t = 0.0
-        else:
-            t = frame / (round(framerate) if framerate > 1 else framerate)
-        hours = int(math.floor(t / 3600))
-        minutes = int(math.floor(t / 60)) % 60
-        seconds = int(math.floor(t)) % 60
-        frames = frame % int(round(framerate)) if framerate > 1 else 0
-
-        def tc(v):
-            return ((v // 10) << 4) | (v % 10)
-
-        raw = bytes(
-            [tc(frames) & 0x3F, tc(seconds) & 0x7F, tc(minutes) & 0x7F, tc(hours) & 0x3F]
-        ) + b"\0" * 4
-        self.header[pos : pos + 8] = raw
+        self.header[pos : pos + 8] = timecode_bytes(framerate, frame)
         self.offset += 8
         return pos
+
+
+def timecode_bytes(framerate: float, frame: int) -> bytes:
+    """8 SMPTE timecode bytes for a frame (add_timecode, dng.c:539-578)."""
+    if framerate == 0:
+        t = 0.0
+    else:
+        t = frame / (round(framerate) if framerate > 1 else framerate)
+    hours = int(math.floor(t / 3600))
+    minutes = int(math.floor(t / 60)) % 60
+    seconds = int(math.floor(t)) % 60
+    frames = frame % int(round(framerate)) if framerate > 1 else 0
+
+    def tc(v):
+        return ((v // 10) << 4) | (v % 10)
+
+    return bytes(
+        [tc(frames) & 0x3F, tc(seconds) & 0x7F, tc(minutes) & 0x7F, tc(hours) & 0x3F]
+    ) + b"\0" * 4
+
+
+def _record(offsets, key, pos):
+    """Capture a data-area position while building (template support)."""
+    if offsets is not None:
+        offsets[key] = pos
+    return pos
 
 
 def _pack2(a: int, b: int) -> int:
@@ -185,6 +196,7 @@ def build_dng_header(
     mlv_basename: str = "",
     compression: str = "none",
     strip_byte_count: int = None,
+    _offsets: dict = None,
 ) -> bytes:
     """Build the 64 KiB CDNG header for one frame.
 
@@ -256,6 +268,9 @@ def build_dng_header(
 
     # IFD0, in the reference's entry + data-area evaluation order (dng.c:717-760)
     datetime_str = format_datetime(frame_headers)
+    if _offsets is not None:
+        _offsets["frame_rate_f"] = frame_rate_f
+        _offsets["datetime_len"] = len(datetime_str)
     ifd0 = [
         (tcNewSubFileType, ttLong, 1, sfMainImage),
         (tcImageWidth, ttLong, 1, xres),
@@ -278,7 +293,8 @@ def build_dng_header(
         ),
         (tcPlanarConfiguration, ttShort, 1, pcInterleaved),
         (tcSoftware, ttAscii, len(SOFTWARE_NAME) + 1, data.add_string(SOFTWARE_NAME)),
-        (tcDateTime, ttAscii, len(datetime_str) + 1, data.add_string(datetime_str)),
+        (tcDateTime, ttAscii, len(datetime_str) + 1,
+         _record(_offsets, "datetime", data.add_string(datetime_str))),
         (tcCFARepeatPatternDim, ttShort, 2, 0x00020002),
         (tcCFAPattern, ttByte, 4, 0x02010100),  # RGGB
         (tcExifIFD, ttLong, 1, exif_ifd_offset),
@@ -292,14 +308,16 @@ def build_dng_header(
         (tcColorMatrix1, ttSRational, 9, data.add_ints(cm1)),
         (tcColorMatrix2, ttSRational, 9, data.add_ints(cm2)),
         (tcAsShotNeutral, ttRational, 3, data.add_ints(wbal)),
-        (tcBaselineExposure, ttSRational, 1, data.add_ints(baseline_exposure)),
+        (tcBaselineExposure, ttSRational, 1,
+         _record(_offsets, "baseline_exposure", data.add_ints(baseline_exposure))),
         (tcCameraSerialNumber, ttAscii, len(serial) + 1, data.add_string(serial)),
         (tcCalibrationIlluminant1, ttShort, 1, lsStandardLightA),
         (tcCalibrationIlluminant2, ttShort, 1, lsD65),
         (tcActiveArea, ttLong, 4, data.add_ints(active_area)),
         (tcForwardMatrix1, ttSRational, 9, data.add_ints(fm1)),
         (tcForwardMatrix2, ttSRational, 9, data.add_ints(fm2)),
-        (tcTimeCodes, ttByte, 8, data.add_timecode(frame_rate_f, tc_frame)),
+        (tcTimeCodes, ttByte, 8,
+         _record(_offsets, "timecode", data.add_timecode(frame_rate_f, tc_frame))),
         (tcFrameRate, ttSRational, 1, data.add_ints(frame_rate)),
         (tcReelName, ttAscii, len(mlv_basename) + 1, data.add_string(mlv_basename)),
         (tcBaselineExposureOffset, ttSRational, 1, data.add_rational(0, 1)),
@@ -329,6 +347,8 @@ def build_dng_header(
         pos += 2
         for tag, typ, count, value in entries:
             struct.pack_into("<HHII", header, pos, tag, typ, count, int(value) & 0xFFFFFFFF)
+            if _offsets is not None:
+                _offsets[("value", tag)] = pos + 8
             pos += 12
         struct.pack_into("<I", header, pos, 0)  # next IFD offset
         return pos + 4
@@ -337,3 +357,63 @@ def build_dng_header(
     assert position == exif_ifd_offset
     write_ifd(exif_ifd, position)
     return bytes(header)
+
+
+class DNGHeaderTemplate:
+    """Per-clip header template: build the 64 KiB header once, patch the
+    per-frame fields on render.
+
+    Across a clip's frames the header differs only in DateTime, TimeCodes,
+    BaselineExposure (deflicker), Black/WhiteLevel (dual-ISO scaling) and —
+    for compressed output — StripByteCounts. Rendering is one bytes copy
+    plus a handful of pack_into calls (~20 µs) instead of re-evaluating the
+    41+11 IFD entries (~0.6 ms), which bounded e2e host throughput.
+
+    Byte-exactness contract: a render must equal build_dng_header() for the
+    same frame. EXPO/LENS/WBAL/RTCI can change mid-clip in real MLVs, so
+    callers must key templates on those blocks (see ClipConverter). If the
+    DateTime string length ever differs from the template's (day overflow
+    widening the field), render falls back to a full build.
+    """
+
+    def __init__(self, frame_headers, fps_override: float = 0.0,
+                 mlv_basename: str = "", compression: str = "none",
+                 strip_byte_count: int = None):
+        self._offsets = {}
+        self._base = build_dng_header(
+            frame_headers, fps_override, mlv_basename,
+            compression=compression, strip_byte_count=strip_byte_count,
+            _offsets=self._offsets,
+        )
+        self._args = (fps_override, mlv_basename, compression)
+        self._rtci = frame_headers.rtci
+
+    def render(self, frame_headers, black_level: int = None,
+               white_level: int = None, exposure_bias=None,
+               strip_byte_count: int = None) -> bytes:
+        offs = self._offsets
+        datetime_str = format_datetime(frame_headers)
+        if len(datetime_str) != offs["datetime_len"]:
+            fps_override, basename, compression = self._args
+            return build_dng_header(
+                frame_headers, fps_override, basename, compression=compression,
+                strip_byte_count=strip_byte_count,
+            )
+        buf = bytearray(self._base)
+        pos = offs["datetime"]
+        buf[pos : pos + len(datetime_str)] = datetime_str.encode("ascii")
+        pos = offs["timecode"]
+        buf[pos : pos + 8] = timecode_bytes(
+            offs["frame_rate_f"], int(frame_headers.vidf["frameNumber"])
+        )
+        if exposure_bias is not None and int(exposure_bias[1]) != 0:
+            struct.pack_into("<2i", buf, offs["baseline_exposure"],
+                             int(exposure_bias[0]), int(exposure_bias[1]))
+        if black_level is not None:
+            struct.pack_into("<I", buf, offs[("value", tcBlackLevel)], int(black_level))
+        if white_level is not None:
+            struct.pack_into("<I", buf, offs[("value", tcWhiteLevel)], int(white_level))
+        if strip_byte_count is not None:
+            struct.pack_into("<I", buf, offs[("value", tcStripByteCounts)],
+                             int(strip_byte_count))
+        return bytes(buf)

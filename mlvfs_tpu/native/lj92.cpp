@@ -12,6 +12,7 @@
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -231,6 +232,49 @@ int lj92_decode_buf(const uint8_t* data, size_t len, uint16_t* out, size_t out_c
     }
     return 0;
 }
+
+// Batch decode: n independent LJ92 streams → one (n, frame_samples) u16
+// buffer, fanned out over hardware threads. One ctypes call per *batch*
+// instead of per frame, and the per-frame Huffman decode (inherently
+// sequential within a stream) parallelizes across frames — the reference
+// gets the same effect from the FUSE thread pool (README.md:22-24).
+// offsets[i], lens[i] locate stream i inside `data`. rcs[i] receives the
+// per-frame status (same codes as lj92_decode_buf); a bad frame leaves its
+// slice zeroed and does not fail the batch. Returns 0.
+int lj92_decode_batch_buf(const uint8_t* data, const uint64_t* offsets,
+                          const uint64_t* lens, int n_frames,
+                          uint16_t* out, uint64_t frame_samples,
+                          int* dims, int* rcs, int n_threads) {
+    if (n_threads <= 0) {
+        n_threads = (int)std::thread::hardware_concurrency();
+        if (n_threads <= 0) n_threads = 1;
+    }
+    if (n_threads > n_frames) n_threads = n_frames > 0 ? n_frames : 1;
+    auto worker = [&](int t) {
+        int d[4];
+        for (int i = t; i < n_frames; i += n_threads) {
+            uint16_t* dst = out + (uint64_t)i * frame_samples;
+            int rc = lj92_decode_buf(data + offsets[i], (size_t)lens[i], dst,
+                                     (size_t)frame_samples, d);
+            rcs[i] = rc;
+            if (rc != 0) memset(dst, 0, frame_samples * sizeof(uint16_t));
+            if (i == 0 && rc == 0) memcpy(dims, d, sizeof(d));
+        }
+    };
+    if (n_threads == 1) {
+        worker(0);
+    } else {
+        std::vector<std::thread> threads;
+        threads.reserve(n_threads);
+        for (int t = 0; t < n_threads; t++) threads.emplace_back(worker, t);
+        for (auto& th : threads) th.join();
+    }
+    return 0;
+}
+
+}  // extern "C" — reopened below
+
+extern "C" {
 
 namespace {
 

@@ -1,1 +1,8 @@
-from .mesh import make_mesh, shard_batch, frames_sharding  # noqa: F401
+from .mesh import (  # noqa: F401
+    FRAME_AXIS,
+    batch_target,
+    frames_sharding,
+    make_mesh,
+    pad_frames,
+    replicated,
+)

@@ -72,42 +72,45 @@ class ClipConverter:
         self.config = config or ProcessingConfig()
         self.fh0 = clip.frame_headers(0) if clip.frame_count else None
         self._write_pool = _futures.ThreadPoolExecutor(max_workers=4)
+        ncpu = os.cpu_count() or 1
+        self._decode_pool = (
+            _futures.ThreadPoolExecutor(max_workers=min(8, ncpu)) if ncpu > 1 else None
+        )
         self._calibration = None
+        self._templates = {}
         self._sharding = None
+        self._batch_target = self.config.batch_size
         n_dev = int(getattr(self.config, "shard_devices", 0) or 0)
         if n_dev > 1 and len(jax.devices()) >= n_dev:
-            from ..parallel.mesh import make_mesh, frames_sharding
+            from ..parallel.mesh import make_mesh, frames_sharding, batch_target
 
             self._mesh = make_mesh(n_dev)
             self._sharding = frames_sharding(self._mesh)
+            self._batch_target = batch_target(self.config.batch_size, self._mesh)
 
     # ------------------------------------------------------------------ #
 
     def _decode_batch_host(self, indices):
-        """Host-side decode for LJ92 clips → (B, H, W) uint16 samples.
+        """Host-side decode for LJ92 clips → (B, H, W) uint16 tiled samples
+        (the 2D de-tiling runs on the device, fused into the batch program).
 
-        Codec failures are isolated per frame like the reference
-        (get_image_data logs 'LZMA Failed!' / 'LJ92: Failed' and leaves the
-        frame blank, main.c:598-681) — one corrupt frame must not kill the
-        conversion of the rest of the clip.
+        One native call decodes the whole batch, fanned over hardware
+        threads (lj92_decode_batch_buf) — the reference gets its decode
+        parallelism from the FUSE thread pool. Codec failures are isolated
+        per frame like the reference (get_image_data logs 'LJ92: Failed'
+        and leaves the frame blank, main.c:598-681).
         """
+        from ..codecs import lj92 as lj92_codec
         from ..utils import log
 
         fh = self.fh0
         h, w = fh.yres, fh.xres
-        out = np.zeros((len(indices), h, w), np.uint16)
-        for bi, i in enumerate(indices):
-            payload = np.asarray(self.clip.frame_payload(i))
-            try:
-                from ..codecs import lj92 as lj92_codec
-
-                samples, _, _, _, _ = lj92_codec.decode(payload[4:].tobytes())
-                out[bi] = np.asarray(
-                    unpack_ops.lj92_detile(jnp.asarray(samples.reshape(h, w)))
-                )
-            except Exception as e:  # corrupt stream: drop the frame, keep going
-                log.error("lj92 decode failed for frame %d: %s", i, e)
-        return out
+        streams = [np.asarray(self.clip.frame_payload(i))[4:].tobytes() for i in indices]
+        out, rcs = lj92_codec.decode_batch(streams, h * w)
+        for bi, rc in enumerate(rcs):
+            if rc != 0:  # corrupt stream: frame stays blank, keep going
+                log.error("lj92 decode failed for frame %d (rc=%d)", indices[bi], rc)
+        return out.reshape(len(indices), h, w)
 
     def _lzma_batch_host(self, indices):
         """Host LZMA decompress → packed word streams (B, n_words).
@@ -124,7 +127,8 @@ class ClipConverter:
             fh.yres * fh.xres, fh.raw_info.bits_per_pixel
         )
         out = np.zeros((len(indices), n_words), "<u2")
-        for bi, i in enumerate(indices):
+
+        def decode_one(bi, i):
             payload = np.asarray(self.clip.frame_payload(i))
             try:
                 out_size = int(payload[:4].view("<u4")[0])
@@ -139,17 +143,32 @@ class ClipConverter:
                 out[bi, : min(n_words, len(words))] = words[:n_words]
             except Exception as e:  # corrupt stream: drop the frame, keep going
                 log.error("lzma decode failed for frame %d: %s", i, e)
+
+        # liblzma releases the GIL: decode the batch across cores
+        pool = self._decode_pool
+        if pool is None or len(indices) == 1:
+            for bi, i in enumerate(indices):
+                decode_one(bi, i)
+        else:
+            list(pool.map(lambda a: decode_one(*a), list(enumerate(indices))))
         return out
 
     def _gather_packed_batch(self, indices):
-        """Stack packed word streams for a batch of frames (uncompressed clips)."""
+        """Stack packed word streams for a batch of frames (uncompressed clips).
+
+        np.empty + explicit tail zeroing: a zeroed allocation would fault and
+        zero the whole ~batch·n_words·2 B region every batch, which measurably
+        bounds host throughput at 1080p (only the payload copy is needed)."""
         fh = self.fh0
         n_words = unpack_ops.words_for_pixels(fh.yres * fh.xres, fh.raw_info.bits_per_pixel)
-        out = np.zeros((len(indices), n_words), "<u2")
+        out = np.empty((len(indices), n_words), "<u2")
         for bi, i in enumerate(indices):
             payload = np.asarray(self.clip.frame_payload(i))
             words = unpack_ops.bytes_to_words_np(payload)
-            out[bi, : min(n_words, len(words))] = words[:n_words]
+            n = min(n_words, len(words))
+            out[bi, :n] = words[:n]
+            if n < n_words:  # short/corrupt frame: blank the tail
+                out[bi, n:] = 0
         return out
 
     # ------------------------------------------------------------------ #
@@ -166,8 +185,25 @@ class ClipConverter:
 
         return run
 
+    @functools.cached_property
+    def _detile_jit(self):
+        @jax.jit
+        def run(samples):
+            return jax.vmap(unpack_ops.lj92_detile)(samples)
+
+        return run
+
     def _put(self, host_array):
-        if self._sharding is not None and host_array.shape[0] % self._sharding.mesh.devices.size == 0:
+        """Pad to the fixed batch shape and stage on the device(s).
+
+        Every batch of a clip lands on the same compiled program: tail
+        batches are padded up to the target (a mesh multiple when sharding)
+        by repeating their last frame, rather than compiling a second
+        unsharded layout for the remainder."""
+        from ..parallel.mesh import pad_frames
+
+        host_array = pad_frames(host_array, self._batch_target)
+        if self._sharding is not None:
             return jax.device_put(host_array, self._sharding)
         return jnp.asarray(host_array)
 
@@ -190,7 +226,8 @@ class ClipConverter:
         if self.fh0.compression in ("none", "lzma"):
             # both carry the packed bpp bitstream → device bit-unpack
             return self._unpack_jit(fetched)
-        return fetched
+        # lj92: host entropy decode produced tiled samples; de-tile on device
+        return self._detile_jit(fetched)
 
     def process_batch(self, imgs: jnp.ndarray, indices):
         """Run the configured processing pipeline on a decoded batch.
@@ -290,7 +327,11 @@ class ClipConverter:
         return sorted(paths)
 
     def _finish_batch(self, outdir, basename, indices, imgs, info):
-        """Write-pool task: pull the batch to host and write its DNGs."""
+        """Write-pool task: pull the batch to host and write its DNGs.
+
+        Header synthesis goes through a per-clip template (one full build per
+        metadata epoch, ~20 µs renders after that) so the host side sustains
+        well past the 500 f/s device target. See DNGHeaderTemplate."""
         from ..utils import StageTimer, metrics
 
         cfg = self.config
@@ -300,30 +341,68 @@ class ClipConverter:
         metrics.count("bytes_out", int(imgs_np.nbytes))
         for bi, i in enumerate(indices):
             fh = self.clip.frame_headers(i)
-            self._apply_info(fh, info, bi)
+            black, white, bias = self._info_fields(info, bi)
             path = os.path.join(outdir, dng_frame_name(basename, i, name_scheme=cfg.name_scheme))
             if cfg.compress == "lj92":
-                self._write_dng_lj92(path, fh, cfg.fps, basename, imgs_np[bi])
+                self._write_dng_lj92(path, fh, basename, imgs_np[bi], black, white, bias)
             else:
-                header = dng_emit.build_dng_header(fh, cfg.fps, basename)
+                header = self._header_template(fh, basename).render(
+                    fh, black_level=black, white_level=white, exposure_bias=bias
+                )
                 self._write_dng(path, header, imgs_np[bi])
+
+    def _info_fields(self, info, bi):
+        """Per-frame header mutations from the processed-batch info dict."""
+        levels = info.get("levels")
+        if levels is not None:
+            black, white = int(levels[bi][0]), int(levels[bi][1])
+        else:
+            black, white = info.get("black_level"), info.get("white_level")
+        eb = info.get("exposure_bias")
+        bias = (int(eb[bi][0]), int(eb[bi][1])) if eb is not None else None
+        return black, white, bias
+
+    def _header_template(self, fh, basename, compression="none"):
+        """Template cache keyed on the metadata blocks that feed the header
+        (EXPO/LENS/WBAL/RTCI can change mid-clip; MLVI/RAWI/IDNT are static)."""
+        key = (
+            compression,
+            fh.expo.tobytes(),
+            fh.lens.tobytes(),
+            fh.wbal.tobytes(),
+            fh.rtci.tobytes(),
+        )
+        tpl = self._templates.get(key)
+        if tpl is None:
+            tpl = dng_emit.DNGHeaderTemplate(
+                fh, self.config.fps, basename, compression=compression,
+                strip_byte_count=0 if compression == "lj92" else None,
+            )
+            self._templates[key] = tpl
+        return tpl
 
     @staticmethod
     def _write_dng(path: str, header: bytes, img: np.ndarray):
+        # one writev syscall, no stdio buffer and no tobytes() copy of the
+        # 2·W·H image payload; the tmpfs page-allocating copy (~1.2 ms at
+        # 1080p) is the kernel floor for the per-frame write
         tmp = path + ".tmp"
-        with open(tmp, "wb") as f:
-            f.write(header)
-            f.write(img.tobytes())
+        fd = os.open(tmp, os.O_WRONLY | os.O_CREAT | os.O_TRUNC, 0o644)
+        try:
+            os.writev(fd, [header, memoryview(img).cast("B")])
+        finally:
+            os.close(fd)
         os.replace(tmp, path)
 
-    @staticmethod
-    def _write_dng_lj92(path: str, fh, fps: float, basename: str, img: np.ndarray):
+    def _write_dng_lj92(self, path: str, fh, basename: str, img: np.ndarray,
+                        black, white, bias):
         """Lossless-compressed DNG: 2-component SOF3 strip (Compression=7)."""
         from ..codecs import lj92 as lj92_codec
 
         strip = lj92_codec.encode_bayer_dng_strip(img, bits=16)
-        header = dng_emit.build_dng_header(
-            fh, fps, basename, compression="lj92", strip_byte_count=len(strip)
+        header = self._header_template(fh, basename, compression="lj92").render(
+            fh, black_level=black, white_level=white, exposure_bias=bias,
+            strip_byte_count=len(strip),
         )
         tmp = path + ".tmp"
         with open(tmp, "wb") as f:
@@ -346,6 +425,8 @@ class ClipConverter:
 
     def close(self):
         self._write_pool.shutdown(wait=True)
+        if self._decode_pool is not None:
+            self._decode_pool.shutdown(wait=True)
 
 
 def convert_clip(mlv_path: str, outdir: str, config: ProcessingConfig = None, **kw):

@@ -25,7 +25,10 @@ class BatchPrefetcher:
         self._fetch = fetch
         self._batches = list(batches)
         self._depth = max(1, depth)
-        self._pool = concurrent.futures.ThreadPoolExecutor(max_workers=1)
+        # one worker per in-flight batch: compressed-clip host decode
+        # (LZMA / native LJ92, both GIL-releasing) parallelizes across
+        # batches instead of serializing on a single prefetch thread
+        self._pool = concurrent.futures.ThreadPoolExecutor(max_workers=self._depth)
         self._futures = []
         self._lock = threading.Lock()
 

@@ -194,6 +194,108 @@ class VirtualFS:
         """Confined path inside the clip's .MLD sidecar dir, or None."""
         return self._confined(mlv_path[:-4] + ".MLD", inside)
 
+    _VIRTUAL_SUFFIXES = (".dng", ".wav", ".gif", ".log")
+
+    def resolve_write(self, vpath: str):
+        """Virtual path → on-disk path for write-side ops, or None if the
+        target is a virtual file (mlvfs_resolve_virtual, main.c:1035-1082).
+
+        Inside a clip directory, root-level .dng/.wav/.gif/.log (except
+        AppleDouble ._* names) are virtual; everything else maps into the
+        clip's .MLD sidecar dir. Outside clip directories paths map straight
+        into the namespace root. Unlike resolve(), the target need not exist
+        (create/mkdir/rename destinations).
+        """
+        vpath = vpath.strip("/")
+        if not vpath:
+            return None  # the root itself is not writable as a file
+        parts = vpath.split("/")
+        for i in range(1, len(parts) + 1):
+            mlv_name = self._mlv_from_virtual_dir(parts[i - 1])
+            if mlv_name is None:
+                continue
+            prefix = "/".join(parts[: i - 1] + [mlv_name])
+            real_mlv = self._confined(self.mlv_dir, prefix)
+            if real_mlv is None or not os.path.isfile(real_mlv):
+                continue
+            inside = parts[i:]
+            if not inside:
+                return real_mlv  # the MLV itself
+            name = inside[-1]
+            if (
+                len(inside) == 1
+                and name.lower().endswith(self._VIRTUAL_SUFFIXES)
+                and not name.startswith("._")
+            ):
+                return None  # virtual DNG/WAV/GIF/log
+            return self._mld_sub(real_mlv, "/".join(inside))
+        return self._confined(self.mlv_dir, vpath)
+
+    def _ensure_mld(self, real_path: str):
+        """Create the .MLD sidecar dir on demand (check_mld_exists,
+        main.c:874-893)."""
+        idx = real_path.find(".MLD")
+        if idx >= 0:
+            mld = real_path[: idx + 4]
+            if not os.path.isdir(mld):
+                os.makedirs(mld, exist_ok=True)
+
+    # -- write-side passthrough (main.c:1578-1744) -----------------------------
+
+    def create(self, vpath: str, mode: int = 0o644):
+        real = self.resolve_write(vpath)
+        if real is None:
+            raise PermissionError(vpath)
+        self._ensure_mld(real)
+        fd = os.open(real, os.O_WRONLY | os.O_CREAT | os.O_TRUNC, mode)
+        os.close(fd)
+
+    def write(self, vpath: str, data: bytes, offset: int = 0) -> int:
+        real = self.resolve_write(vpath)
+        if real is None:
+            raise PermissionError(vpath)
+        fd = os.open(real, os.O_RDWR)
+        try:
+            return os.pwrite(fd, data, offset)
+        finally:
+            os.close(fd)
+
+    def truncate(self, vpath: str, length: int = 0):
+        real = self.resolve_write(vpath)
+        if real is None:
+            raise PermissionError(vpath)
+        os.truncate(real, length)
+
+    def unlink(self, vpath: str):
+        real = self.resolve_write(vpath)
+        if real is None:
+            raise PermissionError(vpath)
+        os.unlink(real)
+
+    def mkdir(self, vpath: str, mode: int = 0o777):
+        real = self.resolve_write(vpath)
+        if real is None:
+            raise PermissionError(vpath)
+        self._ensure_mld(real)
+        # mkdir of the clip's virtual root resolves to the MLV file itself;
+        # the reference treats that as success (main.c:1615-1631)
+        if not os.path.exists(real):
+            os.mkdir(real, mode)
+
+    def rmdir(self, vpath: str):
+        real = self.resolve_write(vpath)
+        if real is None:
+            raise PermissionError(vpath)
+        os.rmdir(real)
+
+    def rename(self, vfrom: str, vto: str):
+        real_from = self.resolve_write(vfrom)
+        real_to = self.resolve_write(vto)
+        if real_from is None or real_to is None:
+            raise PermissionError(f"{vfrom} -> {vto}")
+        self._ensure_mld(real_to)
+        os.rename(real_from, real_to)
+
     # -- listing ----------------------------------------------------------------
 
     def listdir(self, vpath: str = "/"):

@@ -131,3 +131,29 @@ def test_decode_rejects_corrupt_streams_without_crashing(rng):
     # pure garbage
     for _ in range(50):
         try_decode(rng.integers(0, 256, size=int(rng.integers(0, 512)), dtype=np.uint8).tobytes())
+
+
+def test_decode_batch_matches_single(rng):
+    """The threaded native batch decode must agree with per-frame decode and
+    isolate corrupt frames (zeroed slice + nonzero rc, rest intact)."""
+    imgs = [rng.integers(0, 1 << 14, size=(24, 48), dtype=np.uint16) for _ in range(5)]
+    streams = [lj92.encode(im, ncomp=1, bits=14) for im in imgs]
+    out, rcs = lj92.decode_batch(streams, 24 * 48)
+    assert list(rcs) == [0] * 5
+    for i, im in enumerate(imgs):
+        single, w, h, bits, ncomp = lj92.decode(streams[i], max_pixels=24 * 48)
+        np.testing.assert_array_equal(out[i].reshape(24, 48), im)
+        np.testing.assert_array_equal(out[i], single.ravel())
+    # corrupt one stream mid-batch
+    bad = bytearray(streams[2]); bad[10:20] = b"\x00" * 10
+    out2, rcs2 = lj92.decode_batch(
+        [streams[0], streams[1], bytes(bad), streams[3], streams[4]], 24 * 48
+    )
+    assert rcs2[0] == 0 and rcs2[4] == 0
+    np.testing.assert_array_equal(out2[0].reshape(24, 48), imgs[0])
+    np.testing.assert_array_equal(out2[4].reshape(24, 48), imgs[4])
+    if rcs2[2] != 0:
+        assert out2[2].max() == 0
+    # empty batch
+    out3, rcs3 = lj92.decode_batch([], 16)
+    assert out3.shape == (0, 16) and rcs3.shape == (0,)

@@ -83,3 +83,41 @@ def test_deflicker_parity(tmp_path):
     med = int(jax.jit(deflicker_median, static_argnums=(1,))(jnp.asarray(img), white))
     corr = np.log2((target - spec.black) / float(med - spec.black))
     assert (int(corr * 10000), 10000) == (ref_num, ref_den)
+
+
+def test_header_template_matches_full_build(tmp_path):
+    """DNGHeaderTemplate.render must be byte-identical to build_dng_header
+    for every frame, including per-frame deflicker bias, dual-ISO level
+    scaling, and lj92 strip byte counts."""
+    from mlvfs_tpu.emit.dng import DNGHeaderTemplate
+
+    src = str(tmp_path / "TPL.MLV")
+    synth.write_mlv(src, width=256, height=64, frames=5)
+    with MLVClip(src) as clip:
+        fh0 = clip.frame_headers(0)
+        tpl = DNGHeaderTemplate(fh0, 0.0, "TPL")
+        for i in range(clip.frame_count):
+            fh = clip.frame_headers(i)
+            # vary the per-frame fields like deflicker/dual-ISO would
+            bias = (-(i + 1) * 100, 1000)
+            black, white = 2048 * 4, 15000 * 4
+            ri = fh.rawi["raw_info"]
+            ri["exposure_bias"] = bias
+            ri["black_level"], ri["white_level"] = black, white
+            want = build_dng_header(fh, 0.0, "TPL")
+            got = tpl.render(fh, black_level=black, white_level=white,
+                             exposure_bias=bias)
+            assert got == want
+        # lj92 mode: StripByteCounts + Compression tag
+        tpl_c = DNGHeaderTemplate(fh0, 0.0, "TPL", compression="lj92",
+                                  strip_byte_count=0)
+        fh = clip.frame_headers(2)
+        want = build_dng_header(fh, 0.0, "TPL", compression="lj92",
+                                strip_byte_count=12345)
+        got = tpl_c.render(fh, strip_byte_count=12345)
+        assert got == want
+        # fps override changes the timecode path
+        tpl_f = DNGHeaderTemplate(fh0, 24.0, "TPL")
+        for i in (0, 3):
+            fh = clip.frame_headers(i)
+            assert tpl_f.render(fh) == build_dng_header(fh, 24.0, "TPL")

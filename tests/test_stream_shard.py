@@ -67,3 +67,39 @@ def test_sharded_dualiso_convert(tmp_path):
         np.testing.assert_array_equal(
             np.fromfile(p0, np.uint8), np.fromfile(p8, np.uint8)
         )
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_convert_nondivisible_tail(tmp_path):
+    """19 frames / batch 8 → tail of 3: the tail is padded to the mesh
+    multiple and runs on the same sharded program (no unsharded fallback),
+    and results stay bit-identical to the unsharded path."""
+    src = str(tmp_path / "TAIL.MLV")
+    synth.write_mlv(src, width=256, height=64, frames=19)
+    paths_a = convert_clip(src, str(tmp_path / "a"),
+                           ProcessingConfig(batch_size=8, chroma_smooth=3))
+    paths_b = convert_clip(
+        src, str(tmp_path / "b"),
+        ProcessingConfig(batch_size=8, chroma_smooth=3, shard_devices=8),
+    )
+    assert len(paths_a) == len(paths_b) == 19
+    for pa, pb in zip(paths_a, paths_b):
+        np.testing.assert_array_equal(np.fromfile(pa, np.uint8),
+                                      np.fromfile(pb, np.uint8))
+
+
+def test_pad_frames_and_batch_target():
+    from mlvfs_tpu.parallel.mesh import pad_frames, batch_target, make_mesh
+
+    arr = np.arange(3 * 4).reshape(3, 4).astype(np.uint16)
+    padded = pad_frames(arr, 8)
+    assert padded.shape == (8, 4)
+    np.testing.assert_array_equal(padded[:3], arr)
+    for r in range(3, 8):
+        np.testing.assert_array_equal(padded[r], arr[2])
+    assert pad_frames(arr, 3) is arr
+    if len(jax.devices()) >= 8:
+        mesh = make_mesh(8)
+        assert batch_target(8, mesh) == 8
+        assert batch_target(9, mesh) == 16
+        assert batch_target(1, mesh) == 8
