@@ -205,6 +205,17 @@ def cmd_serve(args) -> int:
     return 0
 
 
+def cmd_mount(args) -> int:
+    from .mount import mount
+
+    return mount(
+        args.mountpoint,
+        args.mlv_dir or args.input,
+        config=config_from_args(args),
+        fuse_args=args.fuse_opts or (),
+    )
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(prog="mlvfs-tpu", description=__doc__)
     parser.add_argument("--version", action="version", version=f"mlvfs-tpu {__version__}")
@@ -244,6 +255,17 @@ def main(argv=None) -> int:
                               "0.0.0.0 exposes the VFS over the network)")
     _add_processing_flags(p_serve)
     p_serve.set_defaults(func=cmd_serve)
+
+    p_mount = sub.add_parser(
+        "mount", help="FUSE-mount an MLV directory (the reference's headline mode)"
+    )
+    p_mount.add_argument("mountpoint")
+    p_mount.add_argument("input", nargs="?")
+    p_mount.add_argument("--mlv_dir", "--mlv-dir", dest="mlv_dir")
+    p_mount.add_argument("-O", "--fuse-opt", dest="fuse_opts", action="append",
+                         help="extra option passed through to FUSE (repeatable)")
+    _add_processing_flags(p_mount)
+    p_mount.set_defaults(func=cmd_mount)
 
     args = parser.parse_args(argv)
     if not getattr(args, "func", None):

@@ -1,0 +1,159 @@
+"""FUSE mount adapter (L1) + .MLD write-side passthrough.
+
+The kernel-mount test drives a real libfuse2 mount in a subprocess and
+skips gracefully where FUSE is unavailable (no libfuse, no /dev/fuse, or
+no mount permission in the sandbox). The VirtualFS write-side ops are
+covered unconditionally — they are plain library calls.
+"""
+
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+import pytest
+
+from mlvfs_tpu.format import synth
+from mlvfs_tpu.vfs import VirtualFS
+
+
+@pytest.fixture
+def mlv_dir(tmp_path):
+    d = tmp_path / "clips"
+    d.mkdir()
+    synth.write_mlv(str(d / "M01-0001.MLV"), width=128, height=32, frames=3,
+                    audio=True, debug_log="log1\n")
+    return str(d)
+
+
+# ---------------------------------------------------------------------------
+# library-level write side (main.c:1578-1744 semantics)
+
+
+def test_write_side_mld_passthrough(mlv_dir, tmp_path):
+    fs = VirtualFS(mlv_dir)
+    # create lands in the .MLD sidecar dir, created on demand
+    fs.create("/M01-0001.MLV/grade.xmp")
+    fs.write("/M01-0001.MLV/grade.xmp", b"<xmp/>", 0)
+    mld = os.path.join(mlv_dir, "M01-0001.MLD")
+    assert open(os.path.join(mld, "grade.xmp"), "rb").read() == b"<xmp/>"
+    # readable back through the namespace
+    assert fs.read("/M01-0001.MLV/grade.xmp") == b"<xmp/>"
+    # mkdir / rename / truncate / unlink / rmdir
+    fs.mkdir("/M01-0001.MLV/proxies")
+    assert os.path.isdir(os.path.join(mld, "proxies"))
+    fs.rename("/M01-0001.MLV/grade.xmp", "/M01-0001.MLV/proxies/grade.xmp")
+    assert os.path.isfile(os.path.join(mld, "proxies", "grade.xmp"))
+    fs.truncate("/M01-0001.MLV/proxies/grade.xmp", 3)
+    assert os.path.getsize(os.path.join(mld, "proxies", "grade.xmp")) == 3
+    fs.unlink("/M01-0001.MLV/proxies/grade.xmp")
+    fs.rmdir("/M01-0001.MLV/proxies")
+    assert os.listdir(mld) == []
+    # plain files outside clip dirs pass through to the root
+    fs.create("/notes.txt")
+    fs.write("/notes.txt", b"hi", 0)
+    assert open(os.path.join(mlv_dir, "notes.txt"), "rb").read() == b"hi"
+
+
+def test_write_side_rejects_virtual_and_escapes(mlv_dir, tmp_path):
+    fs = VirtualFS(mlv_dir)
+    for vp in ("/M01-0001.MLV/M01-0001_000000.dng",
+               "/M01-0001.MLV/M01-0001.wav",
+               "/M01-0001.MLV/M01-0001_PREVIEW.gif",
+               "/M01-0001.MLV/M01-0001.log"):
+        with pytest.raises(PermissionError):
+            fs.create(vp)
+        with pytest.raises(PermissionError):
+            fs.unlink(vp)
+    # AppleDouble names at clip root are NOT virtual (main.c:1046) — they
+    # pass through to the .MLD dir
+    fs.create("/M01-0001.MLV/._M01-0001_000000.dng")
+    assert os.path.isfile(
+        os.path.join(mlv_dir, "M01-0001.MLD", "._M01-0001_000000.dng"))
+    # traversal confined
+    with pytest.raises(PermissionError):
+        fs.create("/../escape.txt")
+    with pytest.raises(PermissionError):
+        fs.create("/M01-0001.MLV/../../escape.txt")
+    assert not os.path.exists(os.path.join(os.path.dirname(mlv_dir), "escape.txt"))
+
+
+# ---------------------------------------------------------------------------
+# kernel mount
+
+
+def _wait_mounted(mnt, proc, timeout=90.0):
+    deadline = time.time() + timeout
+    while time.time() < deadline:
+        if proc.poll() is not None:
+            return False
+        try:
+            if os.listdir(mnt):
+                return True
+        except OSError:
+            pass
+        time.sleep(0.5)
+    return False
+
+
+@pytest.fixture
+def fuse_mount(mlv_dir, tmp_path):
+    from mlvfs_tpu.mount import fuse_available
+
+    if not fuse_available():
+        pytest.skip("libfuse2 / /dev/fuse not available")
+    mnt = str(tmp_path / "mnt")
+    os.mkdir(mnt)
+    env = {k: v for k, v in os.environ.items()}
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "mlvfs_tpu.mount", mnt, f"--mlv-dir={mlv_dir}"],
+        env=env, cwd=repo,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+    )
+    if not _wait_mounted(mnt, proc):
+        try:
+            out = proc.communicate(timeout=5)[0]
+        except subprocess.TimeoutExpired:
+            proc.kill()
+            out = proc.communicate()[0]
+        pytest.skip(f"FUSE mount unavailable in this sandbox: {out[-500:]}")
+    yield mnt
+    subprocess.run(["fusermount", "-u", mnt], capture_output=True)
+    try:
+        proc.wait(timeout=15)
+    except subprocess.TimeoutExpired:
+        proc.terminate()
+        proc.wait(timeout=15)
+
+
+def test_fuse_mount_roundtrip(fuse_mount, mlv_dir, tmp_path):
+    mnt = fuse_mount
+    clip_dir = os.path.join(mnt, "M01-0001.MLV")
+    names = sorted(os.listdir(clip_dir))
+    assert "M01-0001_000000.dng" in names
+    assert "M01-0001.wav" in names and "M01-0001.log" in names
+    assert "M01-0001_PREVIEW.gif" in names
+    # DNG read through the kernel == batch-converted file
+    from mlvfs_tpu.pipeline.config import ProcessingConfig
+    from mlvfs_tpu.pipeline.convert import convert_clip
+
+    conv = convert_clip(os.path.join(mlv_dir, "M01-0001.MLV"),
+                        str(tmp_path / "conv"), ProcessingConfig(batch_size=1))
+    mounted = open(os.path.join(clip_dir, "M01-0001_000001.dng"), "rb").read()
+    converted = open(conv[1], "rb").read()
+    assert mounted == converted
+    # offset-sliced read agrees (the FUSE read contract)
+    with open(os.path.join(clip_dir, "M01-0001_000001.dng"), "rb") as f:
+        f.seek(65536 + 100)
+        assert f.read(64) == converted[65636:65700]
+    assert open(os.path.join(clip_dir, "M01-0001.log")).read() == "log1\n"
+    # write through the mount lands in the sidecar dir
+    with open(os.path.join(clip_dir, "grade.xmp"), "w") as f:
+        f.write("<xmp/>")
+    assert open(os.path.join(mlv_dir, "M01-0001.MLD", "grade.xmp")).read() == "<xmp/>"
+    # virtual files reject writes
+    with pytest.raises(PermissionError):
+        open(os.path.join(clip_dir, "M01-0001_000000.dng"), "w")
