@@ -11,6 +11,8 @@ from __future__ import annotations
 import random
 import struct
 
+import numpy as np
+
 _IXML_TEMPLATE = (
     '<?xml version="1.0" encoding="UTF-8"?>'
     "<BWFXML>"
@@ -42,8 +44,11 @@ HEADER_SIZE = 12 + 8 + _BEXT_SIZE + 8 + 1024 + 8 + 16 + 8
 def _bext(idnt, rtci, originator_ref_rand: int) -> bytes:
     originator = bytes(idnt["cameraName"])[:32].ljust(32, b"\0")
     serial = bytes(idnt["cameraSerial"]).rstrip(b"\0").decode("ascii", "replace")
+    # %04d of the u32 cameraModel goes through C's signed int conversion
+    # (wav.c:253): 0x80000285 prints as -2147483003
+    model_signed = int(np.int32(np.uint32(idnt["cameraModel"])))
     oref = "JPCAN%04d%.8s%02d%02d%02d%09d" % (
-        int(idnt["cameraModel"]),
+        model_signed,
         serial,
         int(rtci["tm_hour"]),
         int(rtci["tm_min"]),

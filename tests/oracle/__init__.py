@@ -266,3 +266,50 @@ def lj92_encode(img: np.ndarray, bitdepth: int = 16) -> bytes:
     if n < 0:
         raise ValueError(f"reference lj92 encode failed ({n})")
     return out[:n].tobytes()
+
+
+def has_audio(path: str) -> bool:
+    return bool(lib().oracle_has_audio(path.encode()))
+
+
+def wav_size(path: str) -> int:
+    L = lib()
+    L.oracle_wav_size.restype = ctypes.c_long
+    return int(L.oracle_wav_size(path.encode()))
+
+
+def wav(path: str, seed: int = 1) -> bytes:
+    """Whole reference WAV file. ``seed`` feeds srand() before the single
+    rand() call that stamps bext originator_reference (wav.c:253)."""
+    L = lib()
+    L.oracle_wav.restype = ctypes.c_long
+    size = wav_size(path)
+    out = bytearray(size)
+    n = int(L.oracle_wav(path.encode(), _buf(out), ctypes.c_size_t(size),
+                         ctypes.c_uint(seed)))
+    return bytes(out[:n])
+
+
+def rand_after_seed(seed: int = 1) -> int:
+    """glibc rand() value the oracle's srand(seed) produces — the value the
+    TPU-side writer must stamp to match byte-for-byte."""
+    libc = ctypes.CDLL("libc.so.6")
+    libc.srand(ctypes.c_uint(seed))
+    return int(libc.rand())
+
+
+def gif_size(fh) -> int:
+    L = lib()
+    L.oracle_gif_size.restype = ctypes.c_long
+    b = pack_frame_headers(fh)
+    return int(L.oracle_gif_size(_buf(b)))
+
+
+def gif(path: str, fh) -> bytes:
+    """Whole reference preview GIF (10 decoded frames, uncompressed clips)."""
+    L = lib()
+    L.oracle_gif.restype = ctypes.c_long
+    size = gif_size(fh)
+    out = bytearray(size)
+    n = int(L.oracle_gif(path.encode(), _buf(out), ctypes.c_size_t(size)))
+    return bytes(out[:n])

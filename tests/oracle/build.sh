@@ -10,5 +10,6 @@ cc -O2 -fPIC -shared -o "$OUT" \
     "$(dirname "$0")/shim.c" \
     "$REF/dng.c" "$REF/hdr.c" "$REF/cs.c" "$REF/stripes.c" \
     "$REF/patternnoise.c" "$REF/histogram.c" "$REF/amaze_demosaic_RT.c" "$REF/lj92.c" \
+    "$REF/index.c" "$REF/wav.c" "$REF/gif.c" \
     -lm -lpthread
 echo "built $OUT"

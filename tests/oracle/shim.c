@@ -185,6 +185,129 @@ void oracle_amaze(float * raw_flat, float * r_flat, float * g_flat, float * b_fl
     free(rows_raw); free(rows_r); free(rows_g); free(rows_b);
 }
 
+/* ------- WAV / GIF whole-file oracles -------
+ * wav.c and gif.c compile as-is (they only need index.c), but gif.c calls
+ * two functions that live in main.c, which cannot build without libfuse:
+ * mlv_get_frame_headers (the xref walk, main.c:429-558) and get_image_data
+ * (decode dispatch, main.c:569-706; packed-uncompressed case only is
+ * needed by parity clips). Shim equivalents with the same semantics: */
+
+#include "index.h"
+#include "wav.h"
+#include "gif.h"
+
+FILE **mlvfs_load_chunks(const char * path, uint32_t * count)
+{
+    return load_chunks(path, count);
+}
+
+void mlvfs_close_chunks(FILE ** files, uint32_t count)
+{
+    close_chunks(files, count);
+}
+
+int mlv_get_frame_headers(const char *mlv_filename, int index, struct frame_headers * frame_headers)
+{
+    uint32_t chunk_count = 0;
+    FILE **chunk_files = load_chunks(mlv_filename, &chunk_count);
+    if(!chunk_files || !chunk_count) return 0;
+    memset(frame_headers, 0, sizeof(struct frame_headers));
+    mlv_xref_hdr_t *block_xref = get_index(mlv_filename);
+    if (!block_xref) { close_chunks(chunk_files, chunk_count); return 0; }
+    mlv_xref_t *xrefs = (mlv_xref_t *)&(((uint8_t*)block_xref)[sizeof(mlv_xref_hdr_t)]);
+    int found = 0, rawi_found = 0;
+    uint32_t vidf_counter = 0;
+    mlv_hdr_t mlv_hdr;
+    uint32_t hdr_size;
+    for(uint32_t i = 0; (i < block_xref->entryCount) && !found; i++)
+    {
+        FILE *in_file = chunk_files[xrefs[i].fileNumber];
+        int64_t position = xrefs[i].frameOffset;
+        if (xrefs[i].frameType == MLV_FRAME_VIDF)
+        {
+            if ((uint32_t)index == vidf_counter)
+            {
+                found = 1;
+                frame_headers->fileNumber = xrefs[i].fileNumber;
+                frame_headers->position = position;
+                file_set_pos(in_file, position, SEEK_SET);
+                fread(&mlv_hdr, sizeof(mlv_hdr_t), 1, in_file);
+                file_set_pos(in_file, position, SEEK_SET);
+                hdr_size = sizeof(mlv_vidf_hdr_t) < mlv_hdr.blockSize ? sizeof(mlv_vidf_hdr_t) : mlv_hdr.blockSize;
+                fread(&frame_headers->vidf_hdr, hdr_size, 1, in_file);
+            }
+            else vidf_counter++;
+        }
+        else if (xrefs[i].frameType == MLV_FRAME_UNSPECIFIED)
+        {
+            file_set_pos(in_file, position, SEEK_SET);
+            if(fread(&mlv_hdr, sizeof(mlv_hdr_t), 1, in_file))
+            {
+                file_set_pos(in_file, position, SEEK_SET);
+#define GRAB(tag, field, type) \
+                if(!memcmp(mlv_hdr.blockType, tag, 4)) { \
+                    hdr_size = sizeof(type) < mlv_hdr.blockSize ? sizeof(type) : mlv_hdr.blockSize; \
+                    fread(&frame_headers->field, hdr_size, 1, in_file); \
+                    if (!memcmp(tag, "RAWI", 4)) rawi_found = 1; \
+                }
+                GRAB("MLVI", file_hdr, mlv_file_hdr_t)
+                else GRAB("RTCI", rtci_hdr, mlv_rtci_hdr_t)
+                else GRAB("IDNT", idnt_hdr, mlv_idnt_hdr_t)
+                else GRAB("RAWI", rawi_hdr, mlv_rawi_hdr_t)
+                else GRAB("EXPO", expo_hdr, mlv_expo_hdr_t)
+                else GRAB("LENS", lens_hdr, mlv_lens_hdr_t)
+                else GRAB("WBAL", wbal_hdr, mlv_wbal_hdr_t)
+#undef GRAB
+            }
+        }
+    }
+    free(block_xref);
+    close_chunks(chunk_files, chunk_count);
+    return found && rawi_found;
+}
+
+size_t get_image_data(struct frame_headers * frame_headers, FILE * file, uint8_t * output_buffer, off_t offset, size_t max_size)
+{
+    /* packed-uncompressed path only (main.c:686-704) — parity clips for the
+     * GIF oracle are uncompressed */
+    int bpp = frame_headers->rawi_hdr.raw_info.bits_per_pixel;
+    uint64_t pixel_start_index = (offset > 0 ? offset : 0) / 2;
+    uint64_t pixel_start_address = pixel_start_index * bpp / 16;
+    size_t output_size = max_size - (offset < 0 ? (size_t)(-offset) : 0);
+    uint64_t pixel_count = output_size / 2;
+    uint64_t packed_size = (pixel_count + 2) * bpp / 16;
+    uint16_t * packed_bits = calloc((size_t)(packed_size * 2), 1);
+    size_t result = 0;
+    if(packed_bits)
+    {
+        file_set_pos(file, frame_headers->position + frame_headers->vidf_hdr.frameSpace + sizeof(mlv_vidf_hdr_t) + pixel_start_address * 2, SEEK_SET);
+        fread(packed_bits, sizeof(uint16_t), (size_t)packed_size, file);
+        result = dng_get_image_data(frame_headers, packed_bits, output_buffer, offset, max_size);
+        free(packed_bits);
+    }
+    return result;
+}
+
+int oracle_has_audio(const char * path) { return has_audio(path); }
+
+long oracle_wav_size(const char * path) { return (long)wav_get_size(path); }
+
+long oracle_wav(const char * path, uint8_t * out, size_t max_size, unsigned seed)
+{
+    srand(seed); /* wav.c:253 stamps originator_reference from rand() */
+    return (long)wav_get_data(path, out, 0, max_size);
+}
+
+long oracle_gif_size(void * fh)
+{
+    return (long)gif_get_size((struct frame_headers *)fh);
+}
+
+long oracle_gif(const char * path, uint8_t * out, size_t max_size)
+{
+    return (long)gif_get_data(path, out, 0, max_size);
+}
+
 /* reference LJ92 decoder, for interop tests of our encoder/decoder */
 #include "lj92.h"
 int oracle_lj92_decode(uint8_t * data, int datalen, uint16_t * out, int out_pixels,
