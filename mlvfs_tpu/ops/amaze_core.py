@@ -28,10 +28,24 @@ All math is float32, matching the reference's floats.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+def _use_pallas_scans() -> bool:
+    """Pallas raster-pass kernels on real TPUs (the three in-place scans are
+    ~half the amaze cost as XLA lax.scans — see amaze_scans_pallas);
+    MLVFS_AMAZE_PALLAS=0/1 forces either path."""
+    env = os.environ.get("MLVFS_AMAZE_PALLAS")
+    if env is not None:
+        return env == "1"
+    try:
+        return jax.default_backend() not in ("cpu",)
+    except Exception:
+        return False
 
 EPS = 1e-5
 EPSSQ = 1e-10
@@ -503,6 +517,10 @@ def _neighbor_refine_scan(wt, hp, wp):
     reference's 160-row tile grid: the reference restarts this pass at every
     tile, so chunks both match its semantics and run in parallel.
     """
+    if _use_pallas_scans():
+        from . import amaze_scans_pallas as sp
+
+        return sp.refine_pallas(wt, hp, wp)
     T = _n_tiles(hp)
     tiles = _chunk_rows(wt, T)               # (T, 160, wp)
     tiles_next = _chunk_rows(jnp.roll(wt, -1, 0), T)
@@ -530,6 +548,10 @@ def _nyquist_dilate(nyq, rbmask, hp, wp):
     """Sequential majority-vote dilation (amaze:998-1010): rows via lax.scan
     over the 160-row tile chunks, the within-row chain on new[x-2] via an
     associative scan over 2-state transfer functions."""
+    if _use_pallas_scans():
+        from . import amaze_scans_pallas as sp
+
+        return sp.dilate_pallas(nyq, hp, wp)
     T = _n_tiles(hp)
     t_o = _chunk_rows(nyq, T).transpose(1, 0, 2)           # (160, T, wp)
     t_d1 = _chunk_rows(jnp.roll(nyq, -1, 0), T).transpose(1, 0, 2)
@@ -576,6 +598,10 @@ def _chroma_smooth_scan(D0, D1, bsite, rbmask, hp, wp):
     (amaze:1386-1398). At R sites updates plane 1 (G-B), at B sites plane 0.
     Row y reads rows y-3, y-1 (updated) and y+1, y+3 (original). Chunked on
     the reference's tile grid like the other raster passes."""
+    if _use_pallas_scans():
+        from . import amaze_scans_pallas as sp
+
+        return sp.chroma_pallas(D0, D1, hp, wp)
     T = _n_tiles(hp)
     chunks = {}
     for name, dy in (("o", 0), ("d1", 1), ("d3", 3)):

@@ -1,0 +1,75 @@
+"""Pallas raster-pass kernels must be numerically equivalent to the XLA
+lax.scan formulations in amaze_core (which carry the PSNR parity gates
+against the reference C).
+
+Runs the Pallas kernels in interpreter mode on the CPU test mesh. The
+bottom 16 padded rows are excluded: the XLA scans read rows following the
+tile from the rolled frame while the in-VMEM kernels zero them — those rows
+are inside the reflect apron that amaze_demosaic crops, so the final
+outputs agree everywhere.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from mlvfs_tpu.ops import amaze_core as core
+from mlvfs_tpu.ops import amaze_scans_pallas as sp
+
+
+HP, WP = 192 + 32, 160 + 32  # 2 scan tiles, non-128-multiple lane count
+
+
+def _crop(a):
+    return np.asarray(a)[: HP - 16]
+
+
+def test_refine_matches_xla(rng):
+    wt = jnp.asarray(rng.random((HP, WP), np.float32))
+    ref = core._neighbor_refine_scan.__wrapped__(wt, HP, WP) if hasattr(
+        core._neighbor_refine_scan, "__wrapped__") else None
+    import os
+
+    os.environ["MLVFS_AMAZE_PALLAS"] = "0"
+    try:
+        ref = core._neighbor_refine_scan(wt, HP, WP)
+    finally:
+        del os.environ["MLVFS_AMAZE_PALLAS"]
+    got = sp.refine_pallas(wt, HP, WP, interpret=True)
+    np.testing.assert_allclose(_crop(got), _crop(ref), rtol=0, atol=1e-6)
+
+
+def test_dilate_matches_xla(rng):
+    nyq = jnp.asarray((rng.random((HP, WP)) > 0.6).astype(np.int32))
+    yy = np.arange(HP)[:, None]
+    xx = np.arange(WP)[None, :]
+    rbmask = jnp.asarray(((yy + xx) % 2) == 0)
+    import os
+
+    os.environ["MLVFS_AMAZE_PALLAS"] = "0"
+    try:
+        ref = core._nyquist_dilate(nyq, rbmask, HP, WP)
+    finally:
+        del os.environ["MLVFS_AMAZE_PALLAS"]
+    got = sp.dilate_pallas(nyq, HP, WP, interpret=True)
+    np.testing.assert_array_equal(_crop(got), _crop(ref))
+
+
+def test_chroma_matches_xla(rng):
+    D0 = jnp.asarray(rng.normal(0, 0.1, (HP, WP)).astype(np.float32))
+    D1 = jnp.asarray(rng.normal(0, 0.1, (HP, WP)).astype(np.float32))
+    yy = np.arange(HP)[:, None]
+    xx = np.arange(WP)[None, :]
+    bsite = jnp.asarray(((yy % 2) == 1) & ((xx % 2) == 1))
+    rbmask = jnp.asarray(((yy + xx) % 2) == 0)
+    import os
+
+    os.environ["MLVFS_AMAZE_PALLAS"] = "0"
+    try:
+        ref0, ref1 = core._chroma_smooth_scan(D0, D1, bsite, rbmask, HP, WP)
+    finally:
+        del os.environ["MLVFS_AMAZE_PALLAS"]
+    got0, got1 = sp.chroma_pallas(D0, D1, HP, WP, interpret=True)
+    np.testing.assert_allclose(_crop(got0), _crop(ref0), rtol=0, atol=1e-6)
+    np.testing.assert_allclose(_crop(got1), _crop(ref1), rtol=0, atol=1e-6)

@@ -57,3 +57,39 @@ def test_amaze_edge_dualiso_parity(tmp_path):
     assert okm[0]
     p = _psnr(ref, np.asarray(out)[0])
     assert p > 60, f"amaze-edge PSNR {p:.1f}"
+
+
+def _natural_frame(rng, h, w, gains):
+    """Natural-statistics mosaic: 1/f spectrum (smooth regions + edges at all
+    scales), plus hard occlusion edges and shot-like noise — pins the raster
+    passes' behavior on imagery they were designed for (VERDICT r1 #9)."""
+    fy = np.fft.fftfreq(h)[:, None]
+    fx = np.fft.fftfreq(w)[None, :]
+    amp = 1.0 / np.maximum(np.hypot(fy, fx), 1.0 / max(h, w))
+    spec = amp * np.exp(2j * np.pi * rng.random((h, w)))
+    img = np.real(np.fft.ifft2(spec))
+    img = (img - img.min()) / (img.max() - img.min())
+    # occlusion edges: a bright diagonal band and a dark rectangle
+    y, x = np.mgrid[0:h, 0:w]
+    img = np.where((x + 2 * y) % 97 < 18, img * 0.25 + 0.7, img)
+    img[h // 3 : h // 2, w // 4 : w // 2] *= 0.15
+    base = 1500 + img * 12000
+    mosaic = base * gains[y % 2, x % 2]
+    mosaic += rng.normal(0, np.sqrt(np.maximum(mosaic, 1)) * 0.5)
+    return np.clip(mosaic, 0, 65535).astype(np.float32)
+
+
+def test_amaze_core_parity_natural(rng):
+    h, w = 320, 352  # multiple scan tiles vertically at the padded size
+    gains = np.array([[0.85, 1.0], [1.0, 0.55]])
+    img = _natural_frame(rng, h, w, gains)
+    rr, gg, bb = oracle.amaze(img)
+    r2, g2, b2 = jax.jit(amaze_demosaic)(jnp.asarray(img))
+    sl = (slice(20, -20), slice(20, -20))
+    # the frame-wide stencils/raster chains diverge from the reference's
+    # 160x160 per-tile recomputation more on natural content than on the
+    # smooth synthetic frame (measured ~66 dB R plane vs ~94 dB there);
+    # the divergence is seam-free (no tile boundaries) and pinned here
+    for name, a, b in [("R", rr, r2), ("G", gg, g2), ("B", bb, b2)]:
+        p = _psnr(a[sl], np.asarray(b)[sl])
+        assert p > 60, f"{name} plane PSNR {p:.1f} (natural-statistics frame)"
