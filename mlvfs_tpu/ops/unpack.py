@@ -101,6 +101,21 @@ def _unpack_batch_pallas(words: jnp.ndarray, bpp: int, height: int, width: int) 
     emits ppb pixel planes in one fused VPU pass, and a second transpose
     interleaves pixels back. Measured ~1.6x the pure-XLA formulation at
     1080p/14bpp on a v5e (the strided minor-dim variants are far slower).
+
+    Perf note (v5e, 1080p/14bpp/B=32, tools/profile_unpack4-8.py): the path
+    runs ~6.3 ms/batch (~5.1k f/s), of which the XLA minor-dim-7 input
+    relayout is the largest stage (~4.2 ms standalone). This is NOT
+    HBM-bound — pure byte traffic rooflines at ~0.9 ms/batch — it is
+    relayout-compute-bound, and four attempts to beat it all measured
+    slower end-to-end: (a) an MXU 0/1-selection matmul gathering straddling
+    word pairs in pure XLA (7.8 ms — f32 intermediates explode HBM
+    traffic); (b) the same matmul tile-resident in Pallas (6.6 ms); (c) the
+    matmul in single-pass bf16 via hi/lo byte-split (6.7 ms); (d) a fully
+    relayout-free kernel using the fact that the word→pixel lane map has
+    only 17 distinct shifts, as 18 rolls + masked selects (7.4 ms — vector
+    ops over 128-lane registers lose the lane parallelism the wide planar
+    layout gives the current kernel). The planar transpose + fused-shift
+    kernel below remains the fastest known formulation.
     """
     import functools
 
