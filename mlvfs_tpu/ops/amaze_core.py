@@ -99,7 +99,15 @@ def amaze_demosaic(raw: jnp.ndarray):
     """Demosaic a (H, W) float32 mosaic (0..65535 scale) → (R, G, B) planes.
 
     Assumes RGGB (red at even/even), like the reference caller (hdr.c:954).
+    On TPU the whole stage graph runs as one tile-resident Pallas kernel
+    (amaze_pallas, numerically equivalent — gated in
+    tests/test_amaze_scans_pallas.py); this XLA formulation is the CPU path
+    and the reference for equivalence.
     """
+    if _use_pallas_scans():
+        from .amaze_pallas import amaze_demosaic_pallas
+
+        return amaze_demosaic_pallas(raw)
     h, w = raw.shape
     P = 16
     cfa = jnp.pad(raw.astype(jnp.float32) / 65535.0, P, mode="reflect")

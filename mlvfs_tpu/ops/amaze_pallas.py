@@ -1,0 +1,636 @@
+"""AMaZE demosaic as one tile-resident Pallas TPU mega-kernel.
+
+The XLA formulation in amaze_core materializes ~40 frame-sized float planes
+in HBM across the stage graph (~8 ms/frame of the 11.5 ms amaze-edge cost at
+1280x960). This kernel processes one 160-row tile (the reference's tile
+grid, amaze_demosaic_RT.c:135) entirely in VMEM: every stencil stage is
+sublane/lane rolls + elementwise VPU math on (160, wp) planes, the three
+in-place raster passes run as in-kernel row loops, and only the packed CFA
+tile goes in / three RGB tiles come out.
+
+Stage-for-stage it mirrors amaze_core.amaze_demosaic (same math, same
+constants — see that module for the reference mapping); short-lived
+neighbor products (delp/dgsqp families) are recomputed at their use sites
+instead of kept live, holding the working set to ~11 float planes
+(~10 MB of the 16 MB VMEM budget at 1080p widths).
+
+Boundary semantics: lane rolls wrap inside the padded width with frame-edge
+wrap copies refreshed row-by-row in the scans (same trick as
+amaze_scans_pallas); sublane rolls wrap inside the 160-row tile — apron
+rows [0,16) and [144,160) absorb the difference, exactly the reference's
+per-tile recomputation contract, so parity is gated against the oracle
+PSNR tests rather than bit-equality with the frame-wide XLA path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import amaze_core as core
+
+EPS = core.EPS
+EPSSQ = core.EPSSQ
+ARTHRESH = core.ARTHRESH
+NYQTHRESH = core.NYQTHRESH
+CLIP_PT = core.CLIP_PT
+CLIP_PT8 = core.CLIP_PT8
+GAUSSODD = core.GAUSSODD
+GAUSSGRAD = core.GAUSSGRAD
+GAUSSEVEN = core.GAUSSEVEN
+GQUINC = core.GQUINC
+
+TILE = core.SCAN_TILE   # 160
+STEP = core.SCAN_STEP   # 128
+APRON = 16
+WRAP = 8  # wrap-copy lanes each side (max |dx| in any stencil is 6)
+
+
+def _sh(a, dy, dx):
+    """out[y, x] = a[y+dy, x+dx]; wraps (tile rows / padded lanes)."""
+    if dy:
+        a = jnp.roll(a, -dy, 0)
+    if dx:
+        a = jnp.roll(a, -dx, 1)
+    return a
+
+
+def _ulim(a, b, c):
+    return jnp.clip(a, jnp.minimum(b, c), jnp.maximum(b, c))
+
+
+def _masks(shape, row0_parity=0):
+    """green / rb checkerboards and y-parity masks for a (TILE, wpp) tile.
+    Tiles start at even padded rows (STEP is even), so tile-row parity ==
+    padded-row parity."""
+    yy = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    xx = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    green = ((yy + xx) % 2) == 1
+    yeven = (yy % 2) == 0
+    xeven = (xx % 2) == 0
+    return green, ~green, yeven, xeven
+
+
+def _cells(vals, site, yeven):
+    """Reference indx>>1 arrays: per-2-lane-cell value of the site lane,
+    replicated across the cell. The site lane of a cell is x%2 == y%2, so
+    even rows pull the odd lane from the left, odd rows from the right."""
+    t = jnp.where(site, vals, 0)
+    from_left = jnp.roll(t, 1, 1)
+    from_right = jnp.roll(t, -1, 1)
+    other = jnp.where(yeven, from_left, from_right)
+    return jnp.where(site, t, other)
+
+
+def _fix_wrap_row(a, wp, wpp):
+    """Wrap-copy invariant on a (wpp,)-lane row vector (see amaze_scans)."""
+    if wpp == wp:
+        return a
+    xs = jax.lax.broadcasted_iota(jnp.int32, a.shape, a.ndim - 1)
+    left_copy = jnp.roll(a, wp, -1)
+    right_copy = jnp.roll(a, wpp - wp, -1)
+    a = jnp.where((xs >= wp) & (xs < wp + WRAP), left_copy, a)
+    a = jnp.where(xs >= wpp - WRAP, right_copy, a)
+    return a
+
+
+# ---------------------------------------------------------------------------
+# in-kernel raster passes on a (TILE, wpp) scratch plane
+
+
+def _refine_rows(ref, orig_ref, wp, wpp):
+    """hvwt/pmwt neighbor refinement (amaze:1054-1058): ref updated in place,
+    orig_ref holds the pre-pass values for the row-below reads."""
+
+    def one(r, parity):
+        old = ref[pl.ds(r, 1)]                       # (1, wpp) rows stay 2-D
+        prev = ref[pl.ds(jnp.maximum(r - 1, 0), 1)]  # updated (r=0 reads itself)
+        nxt = jnp.where(r + 1 <= TILE - 1,
+                        orig_ref[pl.ds(jnp.minimum(r + 1, TILE - 1), 1)], 0.0)
+        alt = 0.25 * (jnp.roll(prev, -1, -1) + jnp.roll(prev, 1, -1)
+                      + jnp.roll(nxt, -1, -1) + jnp.roll(nxt, 1, -1))
+        new = jnp.where(jnp.abs(0.5 - old) < jnp.abs(0.5 - alt), alt, old)
+        xs = jax.lax.broadcasted_iota(jnp.int32, new.shape, new.ndim - 1)
+        site = (xs % 2) == parity
+        other = jnp.roll(new, 1 if parity == 0 else -1, -1)
+        new = jnp.where(site, new, other)
+        ref[pl.ds(r, 1)] = _fix_wrap_row(new, wp, wpp)
+
+    def pair(i, _):
+        one(2 * i, 0)
+        one(2 * i + 1, 1)
+        return 0
+
+    jax.lax.fori_loop(0, TILE // 2, pair, 0)
+
+
+def _dilate_rows(ref, orig_ref, wp, wpp):
+    """Nyquist majority-vote dilation (amaze:998-1010) in place on ref
+    (float 0/1 values); orig_ref holds the pre-pass tile."""
+
+    def one(r, parity):
+        o = ref[pl.ds(r, 1)].astype(jnp.int32)  # not yet written == original
+        r1 = jnp.where(r >= 1, ref[pl.ds(jnp.maximum(r - 1, 0), 1)], 0.0).astype(jnp.int32)
+        r2 = jnp.where(r >= 2, ref[pl.ds(jnp.maximum(r - 2, 0), 1)], 0.0).astype(jnp.int32)
+        d1 = jnp.where(r + 1 < TILE, orig_ref[pl.ds(jnp.minimum(r + 1, TILE - 1), 1)], 0.0).astype(jnp.int32)
+        d2 = jnp.where(r + 2 < TILE, orig_ref[pl.ds(jnp.minimum(r + 2, TILE - 1), 1)], 0.0).astype(jnp.int32)
+        K = (r2 + jnp.roll(r1, 1, -1) + jnp.roll(r1, -1, -1)
+             + o + jnp.roll(o, -2, -1)
+             + jnp.roll(d1, 1, -1) + jnp.roll(d1, -1, -1) + d2)
+        f0 = jnp.where(K > 4, 1, jnp.where(K < 4, 0, o))
+        f1 = jnp.where(K + 1 > 4, 1, jnp.where(K + 1 < 4, 0, o))
+        xs = jax.lax.broadcasted_iota(jnp.int32, f0.shape, f0.ndim - 1)
+        site = (xs % 2) == parity
+        other_shift = 1 if parity == 0 else -1
+        f0 = jnp.where(site, f0, 0)
+        f0 = jnp.where(site, f0, jnp.roll(f0, other_shift, -1))
+        f1 = jnp.where(site, f1, 0)
+        f1 = jnp.where(site, f1, jnp.roll(f1, other_shift, -1))
+        shift = 2
+        while shift < wpp:
+            g0 = jnp.roll(f0, shift, -1)
+            g1 = jnp.roll(f1, shift, -1)
+            edge = xs < shift
+            g0 = jnp.where(edge, 0, g0)
+            g1 = jnp.where(edge, 1, g1)
+            f0, f1 = (jnp.where(g0 == 0, f0, f1), jnp.where(g1 == 0, f0, f1))
+            shift *= 2
+        ref[pl.ds(r, 1)] = _fix_wrap_row(f0.astype(jnp.float32), wp, wpp)
+
+    def pair(i, _):
+        one(2 * i, 0)
+        one(2 * i + 1, 1)
+        return 0
+
+    jax.lax.fori_loop(0, TILE // 2, pair, 0)
+
+
+def _chroma_rows(ref, orig_ref, wp, wpp, update_parity):
+    """Directional chrominance interpolation (amaze:1386-1398), one plane,
+    rows of update_parity only; ref updated in place, orig_ref pre-pass."""
+
+    def one(i, _):
+        r = 2 * i + update_parity
+        parity = update_parity
+
+        def rdu(dy):
+            idx = jnp.clip(r + dy, 0, TILE - 1)
+            return jnp.where(r + dy >= 0, ref[pl.ds(idx, 1)], 0.0)
+
+        def rdo(dy):
+            idx = jnp.clip(r + dy, 0, TILE - 1)
+            return jnp.where(r + dy <= TILE - 1, orig_ref[pl.ds(idx, 1)], 0.0)
+
+        um1, um3 = rdu(-1), rdu(-3)
+        ld1, ld3 = rdo(1), rdo(3)
+        nm1 = jnp.roll(um1, 1, -1)
+        pp1 = jnp.roll(um1, -1, -1)
+        nm3 = jnp.roll(um3, 3, -1)
+        pp3 = jnp.roll(um3, -3, -1)
+        om1 = jnp.roll(ld1, -1, -1)
+        op1 = jnp.roll(ld1, 1, -1)
+        om3 = jnp.roll(ld3, -3, -1)
+        op3 = jnp.roll(ld3, 3, -1)
+        wtnw = 1.0 / (EPS + jnp.abs(nm1 - om1) + jnp.abs(nm1 - nm3) + jnp.abs(om1 - nm3))
+        wtne = 1.0 / (EPS + jnp.abs(pp1 - op1) + jnp.abs(pp1 - pp3) + jnp.abs(op1 - pp3))
+        wtsw = 1.0 / (EPS + jnp.abs(op1 - pp1) + jnp.abs(op1 - om3) + jnp.abs(pp1 - op3))
+        wtse = 1.0 / (EPS + jnp.abs(om1 - nm1) + jnp.abs(om1 - op3) + jnp.abs(nm1 - om3))
+        val = (
+            wtnw * (1.325 * nm1 - 0.175 * nm3
+                    - 0.075 * jnp.roll(um1, 3, -1) - 0.075 * jnp.roll(um3, 1, -1))
+            + wtne * (1.325 * pp1 - 0.175 * pp3
+                      - 0.075 * jnp.roll(um1, -3, -1) - 0.075 * jnp.roll(um3, -1, -1))
+            + wtsw * (1.325 * op1 - 0.175 * op3
+                      - 0.075 * jnp.roll(ld1, 3, -1) - 0.075 * jnp.roll(ld3, 1, -1))
+            + wtse * (1.325 * om1 - 0.175 * om3
+                      - 0.075 * jnp.roll(ld1, -3, -1) - 0.075 * jnp.roll(ld3, -1, -1))
+        ) / (wtnw + wtne + wtsw + wtse)
+        xs = jax.lax.broadcasted_iota(jnp.int32, val.shape, val.ndim - 1)
+        site = (xs % 2) == parity
+        other = jnp.roll(val, 1 if parity == 0 else -1, -1)
+        new = jnp.where(site, val, other)
+        ref[pl.ds(r, 1)] = _fix_wrap_row(new, wp, wpp)
+        return 0
+
+    jax.lax.fori_loop(0, TILE // 2, one, 0)
+
+
+# ---------------------------------------------------------------------------
+
+
+def _kernel(cfa_ref, red_ref, grn_ref, blu_ref,
+            hvwt_s, d0_s, d1_s, tmp_a, tmp_b,
+            *, wp, wpp):
+    """One 160-row tile: full AMaZE stage graph (see amaze_core for the
+    reference mapping of each block)."""
+    cfa = cfa_ref[0]
+    green, rbmask, yeven, xeven = _masks(cfa.shape)
+    sgn = jnp.where(green, -1.0, 1.0)
+
+    def cells(vals):
+        return _cells(vals, rbmask, yeven)
+
+    def cells_g(vals):
+        # green-site cells replicate to the rb lane of the cell
+        t = jnp.where(green, vals, 0)
+        from_left = jnp.roll(t, 1, 1)
+        from_right = jnp.roll(t, -1, 1)
+        other = jnp.where(yeven, from_right, from_left)
+        return jnp.where(green, t, other)
+
+    s = _sh
+
+    # gradients (amaze:568-579)
+    delh = jnp.abs(s(cfa, 0, 1) - s(cfa, 0, -1))
+    delv = jnp.abs(s(cfa, 1, 0) - s(cfa, -1, 0))
+    dirwts0 = EPS + jnp.abs(s(cfa, 2, 0) - cfa) + jnp.abs(cfa - s(cfa, -2, 0)) + delv
+    dirwts1 = EPS + jnp.abs(s(cfa, 0, 2) - cfa) + jnp.abs(cfa - s(cfa, 0, -2)) + delh
+    delhvsqsum = delh * delh + delv * delv
+
+    # cardinal interpolation (amaze:690-746)
+    def ratio(n, dwfar, dw, far):
+        return n * (dwfar + dw) / (dwfar * (EPS + cfa) + dw * (EPS + far))
+
+    cru = ratio(s(cfa, -1, 0), s(dirwts0, -2, 0), dirwts0, s(cfa, -2, 0))
+    crd = ratio(s(cfa, 1, 0), s(dirwts0, 2, 0), dirwts0, s(cfa, 2, 0))
+    crl = ratio(s(cfa, 0, -1), s(dirwts1, 0, -2), dirwts1, s(cfa, 0, -2))
+    crr = ratio(s(cfa, 0, 1), s(dirwts1, 0, 2), dirwts1, s(cfa, 0, 2))
+
+    guha = s(cfa, -1, 0) + 0.5 * (cfa - s(cfa, -2, 0))
+    gdha = s(cfa, 1, 0) + 0.5 * (cfa - s(cfa, 2, 0))
+    glha = s(cfa, 0, -1) + 0.5 * (cfa - s(cfa, 0, -2))
+    grha = s(cfa, 0, 1) + 0.5 * (cfa - s(cfa, 0, 2))
+
+    guar = jnp.where(jnp.abs(1.0 - cru) < ARTHRESH, cfa * cru, guha)
+    gdar = jnp.where(jnp.abs(1.0 - crd) < ARTHRESH, cfa * crd, gdha)
+    glar = jnp.where(jnp.abs(1.0 - crl) < ARTHRESH, cfa * crl, glha)
+    grar = jnp.where(jnp.abs(1.0 - crr) < ARTHRESH, cfa * crr, grha)
+
+    hwt = s(dirwts1, 0, -1) / (s(dirwts1, 0, -1) + s(dirwts1, 0, 1))
+    vwt = s(dirwts0, -1, 0) / (s(dirwts0, 1, 0) + s(dirwts0, -1, 0))
+
+    Gintvha = vwt * gdha + (1.0 - vwt) * guha
+    Ginthha = hwt * grha + (1.0 - hwt) * glha
+    vcdalt = sgn * (Gintvha - cfa)
+    hcdalt = sgn * (Ginthha - cfa)
+
+    clipmask = (cfa > CLIP_PT8) | (Gintvha > CLIP_PT8) | (Ginthha > CLIP_PT8)
+    guar = jnp.where(clipmask, guha, guar)
+    gdar = jnp.where(clipmask, gdha, gdar)
+    glar = jnp.where(clipmask, glha, glar)
+    grar = jnp.where(clipmask, grha, grar)
+    vcd = jnp.where(clipmask, vcdalt, sgn * ((vwt * gdar + (1.0 - vwt) * guar) - cfa))
+    hcd = jnp.where(clipmask, hcdalt, sgn * ((hwt * grar + (1.0 - hwt) * glar) - cfa))
+
+    dgintv = jnp.minimum((guha - gdha) ** 2, (guar - gdar) ** 2)
+    dginth = jnp.minimum((glha - grha) ** 2, (glar - grar) ** 2)
+
+    # variance-based selection + bounding (amaze:805-874)
+    def var3(a, d1, d2):
+        x0, x1, x2 = s(a, *d1), a, s(a, *d2)
+        return 3.0 * (x0 * x0 + x1 * x1 + x2 * x2) - (x0 + x1 + x2) ** 2
+
+    hcd = jnp.where(var3(hcdalt, (0, -2), (0, 2)) < var3(hcd, (0, -2), (0, 2)), hcdalt, hcd)
+    vcd = jnp.where(var3(vcdalt, (-2, 0), (2, 0)) < var3(vcd, (-2, 0), (2, 0)), vcdalt, vcd)
+
+    cl, cr_ = s(cfa, 0, -1), s(cfa, 0, 1)
+    cu, cd = s(cfa, -1, 0), s(cfa, 1, 0)
+
+    Ginth_g = -hcd + cfa
+    Gintv_g = -vcd + cfa
+    hwt_g = 1.0 - 3.0 * hcd / (EPS + Ginth_g + cfa)
+    hcd_g_hi = -_ulim(Ginth_g, cl, cr_) + cfa
+    hcd_g = jnp.where(
+        hcd > 0,
+        jnp.where(3.0 * hcd > (Ginth_g + cfa), hcd_g_hi, hwt_g * hcd + (1.0 - hwt_g) * hcd_g_hi),
+        hcd,
+    )
+    hcd_g = jnp.where(Ginth_g > CLIP_PT, hcd_g_hi, hcd_g)
+    vwt_g = 1.0 - 3.0 * vcd / (EPS + Gintv_g + cfa)
+    vcd_g_hi = -_ulim(Gintv_g, cu, cd) + cfa
+    vcd_g = jnp.where(
+        vcd > 0,
+        jnp.where(3.0 * vcd > (Gintv_g + cfa), vcd_g_hi, vwt_g * vcd + (1.0 - vwt_g) * vcd_g_hi),
+        vcd,
+    )
+    vcd_g = jnp.where(Gintv_g > CLIP_PT, vcd_g_hi, vcd_g)
+
+    Ginth_rb = hcd + cfa
+    Gintv_rb = vcd + cfa
+    hwt_rb = 1.0 + 3.0 * hcd / (EPS + Ginth_rb + cfa)
+    hcd_rb_lo = _ulim(Ginth_rb, cl, cr_) - cfa
+    hcd_rb = jnp.where(
+        hcd < 0,
+        jnp.where(3.0 * hcd < -(Ginth_rb + cfa), hcd_rb_lo, hwt_rb * hcd + (1.0 - hwt_rb) * hcd_rb_lo),
+        hcd,
+    )
+    hcd_rb = jnp.where(Ginth_rb > CLIP_PT, hcd_rb_lo, hcd_rb)
+    vwt_rb = 1.0 + 3.0 * vcd / (EPS + Gintv_rb + cfa)
+    vcd_rb_lo = _ulim(Gintv_rb, cu, cd) - cfa
+    vcd_rb = jnp.where(
+        vcd < 0,
+        jnp.where(3.0 * vcd < -(Gintv_rb + cfa), vcd_rb_lo, vwt_rb * vcd + (1.0 - vwt_rb) * vcd_rb_lo),
+        vcd,
+    )
+    vcd_rb = jnp.where(Gintv_rb > CLIP_PT, vcd_rb_lo, vcd_rb)
+
+    hcd = jnp.where(green, hcd_g, hcd_rb)
+    vcd = jnp.where(green, vcd_g, vcd_rb)
+    cddiffsq = (vcd - hcd) ** 2
+
+    # directional weights hvwt (amaze:922-962)
+    uave = vcd + s(vcd, -1, 0) + s(vcd, -2, 0) + s(vcd, -3, 0)
+    dave = vcd + s(vcd, 1, 0) + s(vcd, 2, 0) + s(vcd, 3, 0)
+    lave = hcd + s(hcd, 0, -1) + s(hcd, 0, -2) + s(hcd, 0, -3)
+    rave = hcd + s(hcd, 0, 1) + s(hcd, 0, 2) + s(hcd, 0, 3)
+
+    def var4(a, d1, d2, d3, ave):
+        return ((a - ave) ** 2 + (s(a, *d1) - ave) ** 2
+                + (s(a, *d2) - ave) ** 2 + (s(a, *d3) - ave) ** 2)
+
+    Dgrbvvaru = var4(vcd, (-1, 0), (-2, 0), (-3, 0), uave)
+    Dgrbvvard = var4(vcd, (1, 0), (2, 0), (3, 0), dave)
+    Dgrbhvarl = var4(hcd, (0, -1), (0, -2), (0, -3), lave)
+    Dgrbhvarr = var4(hcd, (0, 1), (0, 2), (0, 3), rave)
+
+    vcdvar_w = EPSSQ + vwt * Dgrbvvard + (1.0 - vwt) * Dgrbvvaru
+    hcdvar_w = EPSSQ + hwt * Dgrbhvarr + (1.0 - hwt) * Dgrbhvarl
+
+    fluct_u = dgintv + s(dgintv, -1, 0) + s(dgintv, -2, 0)
+    fluct_d = dgintv + s(dgintv, 1, 0) + s(dgintv, 2, 0)
+    fluct_l = dginth + s(dginth, 0, -1) + s(dginth, 0, -2)
+    fluct_r = dginth + s(dginth, 0, 1) + s(dginth, 0, 2)
+    vcdvar1 = EPSSQ + vwt * fluct_d + (1.0 - vwt) * fluct_u
+    hcdvar1 = EPSSQ + hwt * fluct_r + (1.0 - hwt) * fluct_l
+
+    varwt = hcdvar_w / (vcdvar_w + hcdvar_w)
+    diffwt = hcdvar1 / (vcdvar1 + hcdvar1)
+    agree = ((0.5 - varwt) * (0.5 - diffwt) > 0) & (jnp.abs(0.5 - diffwt) < jnp.abs(0.5 - varwt))
+    hvwt = cells(jnp.where(agree, varwt, diffwt))
+
+    # Nyquist test (amaze:967-996)
+    def ring(a, offs):
+        return sum(s(a, dy, dx) for dy, dx in offs)
+
+    nyqtest = (
+        GAUSSODD[0] * cddiffsq
+        + GAUSSODD[1] * ring(cddiffsq, [(-1, -1), (-1, 1), (1, -1), (1, 1)])
+        + GAUSSODD[2] * ring(cddiffsq, [(-2, 0), (0, -2), (0, 2), (2, 0)])
+        + GAUSSODD[3] * ring(cddiffsq, [(-2, -2), (-2, 2), (2, -2), (2, 2)])
+    )
+    nyqtest -= NYQTHRESH * (
+        GAUSSGRAD[0] * delhvsqsum
+        + GAUSSGRAD[1] * ring(delhvsqsum, [(-1, 0), (0, 1), (0, -1), (1, 0)])
+        + GAUSSGRAD[2] * ring(delhvsqsum, [(-1, -1), (-1, 1), (1, -1), (1, 1)])
+        + GAUSSGRAD[3] * ring(delhvsqsum, [(-2, 0), (0, -2), (0, 2), (2, 0)])
+        + GAUSSGRAD[4] * ring(delhvsqsum, [(-2, -1), (-2, 1), (-1, -2), (-1, 2), (1, -2), (1, 2), (2, -1), (2, 1)])
+        + GAUSSGRAD[5] * ring(delhvsqsum, [(-2, -2), (-2, 2), (2, -2), (2, 2)])
+    )
+    nyq0 = cells(jnp.where(rbmask & (nyqtest > 0), 1.0, 0.0))
+
+    # sequential dilation in scratch (amaze:998-1010)
+    tmp_a[:] = nyq0
+    tmp_b[:] = nyq0
+    _dilate_rows(tmp_a, tmp_b, wp, wpp)
+    nyq = tmp_a[:]
+
+    # area interpolation in Nyquist regions (amaze:1016-1045)
+    qh = cfa - 0.5 * (cl + cr_)
+    qv = cfa - 0.5 * (cu + cd)
+    qsh = 0.5 * ((cfa - cl) ** 2 + (cfa - cr_) ** 2)
+    qsv = 0.5 * ((cfa - cu) ** 2 + (cfa - cd) ** 2)
+    nm = (nyq > 0) & rbmask
+    nmf = nm.astype(jnp.float32)
+
+    def ring77(a):
+        r = sum(s(a, 0, j) for j in range(-6, 7, 2))
+        return sum(s(r, i, 0) for i in range(-6, 7, 2))
+
+    sumh = ring77(qh * nmf)
+    sumv = ring77(qv * nmf)
+    sumsqh = ring77(qsh * nmf)
+    sumsqv = ring77(qsv * nmf)
+    areawt = ring77(nmf)
+    hcdvar_a = EPSSQ + jnp.abs(areawt * sumsqh - sumh * sumh)
+    vcdvar_a = EPSSQ + jnp.abs(areawt * sumsqv - sumv * sumv)
+    hvwt_area = hcdvar_a / (vcdvar_a + hcdvar_a)
+    nyqc = cells(nmf) > 0
+    hvwt = jnp.where(nyqc, cells(jnp.where(nm, hvwt_area, 0.0)), hvwt)
+
+    # hvwt refinement scan + populate G (amaze:1050-1075)
+    hvwt_s[:] = hvwt
+    tmp_a[:] = hvwt
+    _refine_rows(hvwt_s, tmp_a, wp, wpp)
+    hvwt = hvwt_s[:]
+
+    Dgrb0 = cells(jnp.where(rbmask, hcd * (1.0 - hvwt) + vcd * hvwt, 0.0))
+    rgbgreen = jnp.where(rbmask, cfa + Dgrb0, cfa)
+    curv_h = (rgbgreen - 0.5 * (s(rgbgreen, 0, -1) + s(rgbgreen, 0, 1))) ** 2
+    curv_v = (rgbgreen - 0.5 * (s(rgbgreen, -1, 0) + s(rgbgreen, 1, 0))) ** 2
+    Dgrb2h = jnp.where(nyqc, cells(jnp.where(nm, curv_h, 0.0)), 0.0)
+    Dgrb2v = jnp.where(nyqc, cells(jnp.where(nm, curv_v, 0.0)), 0.0)
+
+    # Nyquist refinement via G curvature (amaze:1085-1102)
+    gvarh = EPSSQ + (
+        GQUINC[0] * Dgrb2h
+        + GQUINC[1] * ring(Dgrb2h, [(-1, -1), (-1, 1), (1, -1), (1, 1)])
+        + GQUINC[2] * ring(Dgrb2h, [(-2, 0), (0, -2), (0, 2), (2, 0)])
+        + GQUINC[3] * ring(Dgrb2h, [(-2, -2), (-2, 2), (2, -2), (2, 2)])
+    )
+    gvarv = EPSSQ + (
+        GQUINC[0] * Dgrb2v
+        + GQUINC[1] * ring(Dgrb2v, [(-1, -1), (-1, 1), (1, -1), (1, 1)])
+        + GQUINC[2] * ring(Dgrb2v, [(-2, 0), (0, -2), (0, 2), (2, 0)])
+        + GQUINC[3] * ring(Dgrb2v, [(-2, -2), (-2, 2), (2, -2), (2, 2)])
+    )
+    refined = (hcd * gvarv + vcd * gvarh) / (gvarv + gvarh)
+    Dgrb0 = jnp.where(nyqc & rbmask, cells(jnp.where(nm, refined, 0.0)), Dgrb0)
+    rgbgreen = jnp.where(rbmask, cfa + Dgrb0, rgbgreen)
+
+    # diagonal interpolation (amaze:1183-1256); delp/delm/dgsq recomputed
+    # here from cfa rather than held live since the gradients stage
+    delp_site = jnp.abs(s(cfa, -1, 1) - s(cfa, 1, -1))
+    delm_site = jnp.abs(s(cfa, 1, 1) - s(cfa, -1, -1))
+    dgp_site = (cfa - s(cfa, -1, 1)) ** 2 + (cfa - s(cfa, 1, -1)) ** 2
+    dgm_site = (cfa - s(cfa, 1, 1)) ** 2 + (cfa - s(cfa, -1, -1)) ** 2
+    delp = cells(delp_site)
+    delm = cells(delm_site)
+    dgsqp = cells_g(dgp_site)
+    dgsqm = cells_g(dgm_site)
+
+    cm1, cm2 = s(cfa, 1, 1), s(cfa, 2, 2)
+    cm1n, cm2n = s(cfa, -1, -1), s(cfa, -2, -2)
+    cp1, cp2 = s(cfa, -1, 1), s(cfa, -2, 2)
+    cp1n, cp2n = s(cfa, 1, -1), s(cfa, 2, -2)
+
+    crse = 2.0 * cm1 / (EPS + cfa + cm2)
+    crnw = 2.0 * cm1n / (EPS + cfa + cm2n)
+    crne = 2.0 * cp1 / (EPS + cfa + cp2)
+    crsw = 2.0 * cp1n / (EPS + cfa + cp2n)
+
+    rbse = jnp.where(jnp.abs(1.0 - crse) < ARTHRESH, cfa * crse, cm1 + 0.5 * (cfa - cm2))
+    rbnw = jnp.where(jnp.abs(1.0 - crnw) < ARTHRESH, cfa * crnw, cm1n + 0.5 * (cfa - cm2n))
+    rbne = jnp.where(jnp.abs(1.0 - crne) < ARTHRESH, cfa * crne, cp1 + 0.5 * (cfa - cp2))
+    rbsw = jnp.where(jnp.abs(1.0 - crsw) < ARTHRESH, cfa * crsw, cp1n + 0.5 * (cfa - cp2n))
+
+    wtse = EPS + delm + s(delm, 1, 1) + s(delm, 2, 2)
+    wtnw = EPS + delm + s(delm, -1, -1) + s(delm, -2, -2)
+    wtne = EPS + delp + s(delp, -1, 1) + s(delp, -2, 2)
+    wtsw = EPS + delp + s(delp, 1, -1) + s(delp, 2, -2)
+
+    rbm_ = (wtse * rbnw + wtnw * rbse) / (wtse + wtnw)
+    rbp_ = (wtne * rbsw + wtsw * rbne) / (wtne + wtsw)
+
+    rbvarm = EPSSQ + (
+        GAUSSEVEN[0] * ring(dgsqm, [(-1, 0), (0, -1), (0, 1), (1, 0)])
+        + GAUSSEVEN[1] * ring(dgsqm, [(-2, -2), (-2, 0), (-1, -1), (-1, 1), (1, -1), (1, 1), (2, -2), (2, 0)])
+    )
+    rbvarp = EPSSQ + (
+        GAUSSEVEN[0] * ring(dgsqp, [(-1, 0), (0, -1), (0, 1), (1, 0)])
+        + GAUSSEVEN[1] * ring(dgsqp, [(-2, -2), (-2, 0), (-1, -1), (-1, 1), (1, -1), (1, 1), (2, -2), (2, 0)])
+    )
+    pmwt_site = rbvarm / (rbvarp + rbvarm)
+
+    pwt = 2.0 * (cfa - rbp_) / (EPS + rbp_ + cfa)
+    rbp_b = _ulim(rbp_, cp1n, cp1)
+    rbp_ = jnp.where(
+        rbp_ < cfa,
+        jnp.where(2.0 * rbp_ < cfa, rbp_b, pwt * rbp_ + (1.0 - pwt) * rbp_b),
+        rbp_,
+    )
+    mwt = 2.0 * (cfa - rbm_) / (EPS + rbm_ + cfa)
+    rbm_b = _ulim(rbm_, cm1n, cm1)
+    rbm_ = jnp.where(
+        rbm_ < cfa,
+        jnp.where(2.0 * rbm_ < cfa, rbm_b, mwt * rbm_ + (1.0 - mwt) * rbm_b),
+        rbm_,
+    )
+    rbp_ = jnp.where(rbp_ > CLIP_PT, _ulim(rbp_, cp1n, cp1), rbp_)
+    rbm_ = jnp.where(rbm_ > CLIP_PT, _ulim(rbm_, cm1n, cm1), rbm_)
+
+    rbp = cells(jnp.where(rbmask, rbp_, 0.0))
+    rbm = cells(jnp.where(rbmask, rbm_, 0.0))
+    pmwt = cells(jnp.where(rbmask, pmwt_site, 0.0))
+
+    # pmwt refinement scan + rbint (amaze:1277-1284)
+    d0_s[:] = pmwt
+    tmp_a[:] = pmwt
+    _refine_rows(d0_s, tmp_a, wp, wpp)
+    pmwt = d0_s[:]
+    rbint = cells(jnp.where(rbmask, 0.5 * (cfa + rbm * (1.0 - pmwt) + rbp * pmwt), 0.0))
+
+    # G correction via R+B (amaze:1287-1352)
+    cru2 = cu * 2.0 / (EPS + rbint + s(rbint, -2, 0))
+    crd2 = cd * 2.0 / (EPS + rbint + s(rbint, 2, 0))
+    crl2 = cl * 2.0 / (EPS + rbint + s(rbint, 0, -2))
+    crr2 = cr_ * 2.0 / (EPS + rbint + s(rbint, 0, 2))
+    gu = jnp.where(jnp.abs(1.0 - cru2) < ARTHRESH, rbint * cru2, cu + 0.5 * (rbint - s(rbint, -2, 0)))
+    gd = jnp.where(jnp.abs(1.0 - crd2) < ARTHRESH, rbint * crd2, cd + 0.5 * (rbint - s(rbint, 2, 0)))
+    gl = jnp.where(jnp.abs(1.0 - crl2) < ARTHRESH, rbint * crl2, cl + 0.5 * (rbint - s(rbint, 0, -2)))
+    gr = jnp.where(jnp.abs(1.0 - crr2) < ARTHRESH, rbint * crr2, cr_ + 0.5 * (rbint - s(rbint, 0, 2)))
+
+    Gintv2 = (s(dirwts0, -1, 0) * gd + s(dirwts0, 1, 0) * gu) / (s(dirwts0, 1, 0) + s(dirwts0, -1, 0))
+    Ginth2 = (s(dirwts1, 0, -1) * gr + s(dirwts1, 0, 1) * gl) / (s(dirwts1, 0, -1) + s(dirwts1, 0, 1))
+
+    vwt2 = 2.0 * (rbint - Gintv2) / (EPS + Gintv2 + rbint)
+    Gv_b = _ulim(Gintv2, cu, cd)
+    Gintv2 = jnp.where(
+        Gintv2 < rbint,
+        jnp.where(2.0 * Gintv2 < rbint, Gv_b, vwt2 * Gintv2 + (1.0 - vwt2) * Gv_b),
+        Gintv2,
+    )
+    hwt2 = 2.0 * (rbint - Ginth2) / (EPS + Ginth2 + rbint)
+    Gh_b = _ulim(Ginth2, cl, cr_)
+    Ginth2 = jnp.where(
+        Ginth2 < rbint,
+        jnp.where(2.0 * Ginth2 < rbint, Gh_b, hwt2 * Ginth2 + (1.0 - hwt2) * Gh_b),
+        Ginth2,
+    )
+    Ginth2 = jnp.where(Ginth2 > CLIP_PT, _ulim(Ginth2, cl, cr_), Ginth2)
+    Gintv2 = jnp.where(Gintv2 > CLIP_PT, _ulim(Gintv2, cu, cd), Gintv2)
+
+    use_diag = jnp.abs(0.5 - pmwt) >= jnp.abs(0.5 - hvwt)
+    g_diag = Ginth2 * (1.0 - hvwt) + Gintv2 * hvwt
+    rgbgreen = jnp.where(rbmask & use_diag, g_diag, rgbgreen)
+    Dgrb0_site = jnp.where(use_diag, g_diag - cfa, Dgrb0)
+    Dgrb0 = cells(jnp.where(rbmask, Dgrb0_site, 0.0))
+
+    # chrominance smoothing (amaze:1358-1398)
+    yy = jax.lax.broadcasted_iota(jnp.int32, cfa.shape, 0)
+    xx = jax.lax.broadcasted_iota(jnp.int32, cfa.shape, 1)
+    bsite = ((yy % 2) == 1) & ((xx % 2) == 1)
+    bcell = cells(bsite.astype(jnp.float32)) > 0
+    Dgrb1 = jnp.where(bcell, Dgrb0, 0.0)
+    Dgrb0 = jnp.where(bcell, 0.0, Dgrb0)
+
+    d0_s[:] = Dgrb0
+    tmp_a[:] = Dgrb0
+    _chroma_rows(d0_s, tmp_a, wp, wpp, 1)   # G-R updates on B rows (odd)
+    d1_s[:] = Dgrb1
+    tmp_b[:] = Dgrb1
+    _chroma_rows(d1_s, tmp_b, wp, wpp, 0)   # G-B updates on R rows (even)
+    Dgrb0 = d0_s[:]
+    Dgrb1 = d1_s[:]
+
+    # output (amaze:1401-1468)
+    hv_u, hv_d = s(hvwt, -1, 0), s(hvwt, 1, 0)
+    hv_l, hv_r = s(hvwt, 0, -1), s(hvwt, 0, 1)
+    wsum = hv_u + (1.0 - hv_r) + (1.0 - hv_l) + hv_d
+
+    def chroma_at_green(D):
+        acc = (hv_u * s(D, -1, 0) + (1.0 - hv_r) * s(D, 0, 1)
+               + (1.0 - hv_l) * s(D, 0, -1) + hv_d * s(D, 1, 0))
+        return acc / wsum
+
+    red_g = rgbgreen - chroma_at_green(Dgrb0)
+    blue_g = rgbgreen - chroma_at_green(Dgrb1)
+    red = jnp.where(green, red_g, rgbgreen - Dgrb0) * 65535.0
+    blue = jnp.where(green, blue_g, rgbgreen - Dgrb1) * 65535.0
+    red_ref[0] = red
+    grn_ref[0] = rgbgreen * 65535.0
+    blu_ref[0] = blue
+
+
+def amaze_demosaic_pallas(raw: jnp.ndarray, interpret: bool = False):
+    """Drop-in tile-resident equivalent of amaze_core.amaze_demosaic."""
+    h, w = raw.shape
+    P = APRON
+    cfa = jnp.pad(raw.astype(jnp.float32) / 65535.0, P, mode="reflect")
+    hp, wp = cfa.shape
+    T = core._n_tiles(hp)
+    tiles = core._chunk_rows(cfa, T)             # (T, 160, wp)
+    wpp = -(-wp // 128) * 128
+    if 0 < wpp - wp < 2 * WRAP:
+        wpp += 128
+    x = jnp.pad(tiles, ((0, 0), (0, 0), (0, wpp - wp)))
+    if wpp > wp:
+        x = x.at[..., wp : wp + WRAP].set(x[..., 0:WRAP])
+        x = x.at[..., wpp - WRAP :].set(x[..., wp - WRAP : wp])
+
+    spec = pl.BlockSpec((1, TILE, wpp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    scratch = [pltpu.VMEM((TILE, wpp), jnp.float32) for _ in range(5)]
+    red, grn, blu = pl.pallas_call(
+        functools.partial(_kernel, wp=wp, wpp=wpp),
+        grid=(T,),
+        in_specs=[spec],
+        out_specs=(spec, spec, spec),
+        out_shape=tuple(jax.ShapeDtypeStruct(x.shape, jnp.float32) for _ in range(3)),
+        scratch_shapes=scratch,
+        # the stage graph's peak live set is ~60 tile planes (~56 MB at
+        # 1080p widths) — well past the compiler's conservative 16 MB
+        # scoped default, within the core's physical VMEM
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(x)
+
+    def unchunk(t):
+        return core._unchunk_rows(t[..., :wp], hp)
+
+    sl = (slice(P, P + h), slice(P, P + w))
+    return unchunk(red)[sl], unchunk(grn)[sl], unchunk(blu)[sl]

@@ -73,3 +73,37 @@ def test_chroma_matches_xla(rng):
     got0, got1 = sp.chroma_pallas(D0, D1, HP, WP, interpret=True)
     np.testing.assert_allclose(_crop(got0), _crop(ref0), rtol=0, atol=1e-6)
     np.testing.assert_allclose(_crop(got1), _crop(ref1), rtol=0, atol=1e-6)
+
+
+def test_amaze_mega_kernel_matches_xla(rng):
+    """The tile-resident mega-kernel (amaze_pallas) must match the XLA
+    amaze_demosaic to float32-ULP level in interpreter mode (same math,
+    same order; tile-internal vertical wraps only ever touch rows whose
+    influence dies inside the 16-row aprons). Exact bit-equality holds on
+    TPU but not across CPU compilations: XLA:CPU contracts a*b+c into FMAs
+    differently for the two programs (measured max rel delta ~5e-7)."""
+    import os
+
+    import jax
+    import numpy as np
+
+    from mlvfs_tpu.ops.amaze_pallas import amaze_demosaic_pallas
+
+    h, w = 160, 224  # two row tiles at the padded size
+    y, x = np.mgrid[0:h, 0:w].astype(np.float64)
+    base = 8000 + 6000 * np.sin(x / 9.0) * np.cos(y / 11.0) + 3000 * (x / w)
+    gains = np.array([[0.8, 1.0], [1.0, 0.6]])
+    img = np.clip(
+        base * gains[y.astype(int) % 2, x.astype(int) % 2] + rng.normal(0, 30, (h, w)),
+        0, 65535,
+    ).astype(np.float32)
+
+    os.environ["MLVFS_AMAZE_PALLAS"] = "0"
+    try:
+        r1, g1, b1 = jax.jit(core.amaze_demosaic)(jnp.asarray(img))
+    finally:
+        del os.environ["MLVFS_AMAZE_PALLAS"]
+    r2, g2, b2 = amaze_demosaic_pallas(jnp.asarray(img), interpret=True)
+    np.testing.assert_allclose(np.asarray(r1), np.asarray(r2), rtol=1e-5, atol=0.01)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-5, atol=0.01)
+    np.testing.assert_allclose(np.asarray(b1), np.asarray(b2), rtol=1e-5, atol=0.01)
