@@ -35,13 +35,28 @@ def _wirth_k(num):
     return jnp.where((num & 1) == 1, num // 2, num // 2 - 1)
 
 
-def _masked_median(stack, valid, axis=0):
-    """k-th smallest of valid elements; invalid replaced by +sentinel."""
-    vals = jnp.where(valid, stack, _SENTINEL)
-    s = jnp.sort(vals, axis=axis)
+def _masked_median(stack, valid, axis=0, lo=-(1 << 18), hi=1 << 18):
+    """k-th smallest of valid elements (exact, integer domain).
+
+    Binary search over the value range instead of jnp.sort: the answer is
+    the smallest v with count(valid & stack <= v) >= k+1, found in
+    ~log2(range) passes of K compares+adds — an order of magnitude cheaper
+    on TPU than the K-wide bitonic sort networks XLA emits (and the
+    take_along_axis it would take to index them per-pixel is a gather)."""
+    import math as _math
+
     num = valid.sum(axis=axis)
     k = jnp.clip(_wirth_k(num), 0, stack.shape[axis] - 1)
-    return jnp.take_along_axis(s, k[None], axis=axis)[0], num
+    iters = int(_math.ceil(_math.log2(hi - lo + 1)))
+    lov = jnp.full(num.shape, lo, jnp.int32)
+    hiv = jnp.full(num.shape, hi, jnp.int32)
+    for _ in range(iters):
+        mid = (lov + hiv) >> 1
+        cnt = jnp.sum(jnp.where(valid & (stack <= jnp.expand_dims(mid, axis)), 1, 0), axis=axis)
+        take = cnt >= k + 1
+        hiv = jnp.where(take, mid, hiv)
+        lov = jnp.where(take, lov, mid + 1)
+    return lov, num
 
 
 def _shift_cols(a, d, fill):
@@ -132,12 +147,12 @@ def _fix_column_noise_rggb(raw, white):
     g1f = _fix_column_noise(g1.astype(jnp.int32), g1s, white)
     g2f = _fix_column_noise(g2.astype(jnp.int32), g2s, white)
     b2 = _fix_column_noise(b.astype(jnp.int32), bs, white)
-    out = jnp.empty_like(raw)
-    out = out.at[0::2, 0::2].set(r2.astype(raw.dtype))
-    out = out.at[0::2, 1::2].set(g1f.astype(raw.dtype))
-    out = out.at[1::2, 0::2].set(g2f.astype(raw.dtype))
-    out = out.at[1::2, 1::2].set(b2.astype(raw.dtype))
-    return out
+    # reassemble by pure reshape interleaves (strided scatters are slow)
+    h2, w2 = r2.shape
+    top = jnp.stack([r2, g1f], axis=-1).reshape(h2, 2 * w2)
+    bot = jnp.stack([g2f, b2], axis=-1).reshape(h2, 2 * w2)
+    out = jnp.stack([top, bot], axis=1).reshape(2 * h2, 2 * w2)
+    return out.astype(raw.dtype)
 
 
 def fix_pattern_noise_image(img: jnp.ndarray, white: int) -> jnp.ndarray:
