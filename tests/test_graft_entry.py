@@ -20,6 +20,8 @@ def _load_entry():
     return g
 
 
+@pytest.mark.skipif(os.environ.get("MLVFS_TPU_TEST_ON_TPU") == "1",
+                    reason="on-TPU run: the CPU mesh is (correctly) not ready")
 def test_cpu_mesh_ready_in_test_env():
     # The test suite runs in the scrubbed 8-device CPU env (conftest.py),
     # so the inline path must be taken — no subprocess overhead.
