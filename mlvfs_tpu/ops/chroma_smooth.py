@@ -5,10 +5,11 @@ uint16 and hdr.c:1488-1500 for the 20-bit path): for every 2x2 Bayer cell,
 compute the median of (R−G) and (B−G) in EV space over the surrounding cells
 (5/9/25 of them), and reapply those chroma offsets to the cell's mean green.
 
-TPU mapping: the per-cell neighborhood loop unrolls into K static strided
-slices of the frame (no gathers); the median is a sort over the K-axis; the
-conditional writes become masked strided updates. Everything fuses into one
-XLA program and vmaps over the batch.
+TPU mapping: one whole-frame raw->EV table lookup (the only gather), then
+the per-cell neighborhood loop unrolls into K static strided slices of the
+EV image; the median is a sort over the K-axis; the conditional writes are
+reshape interleaves + masked selects (no scatters). Everything fuses into
+one XLA program and vmaps over the batch.
 
 Bit-exactness: C int32 arithmetic truncates division toward zero and the
 raw→EV LUT maps pixel==black to INT_MIN (cast of -inf); both reproduced here.

@@ -9,10 +9,11 @@ of the offsets to avoid a cast; transpose and repeat for rows.
 
 TPU mapping of the data-dependent window: the window is a prefix-AND
 condition over at most 51 static neighbor offsets, so we materialize the
-(51, H/2, W/2) neighborhood (static shifts, no gathers), mask elements
-outside the adaptive window with a +inf sentinel, sort along the 51-axis and
-pick the k-th element with k derived from the per-pixel valid count — an
-exact, branch-free reformulation of the reference's variable-length medians
+(51, H/2, W/2) neighborhood (static shifts, no gathers) and take the k-th
+smallest valid element — with k derived from the per-pixel valid count —
+by exact value-range bisection (~19 compare+reduce passes; an order of
+magnitude cheaper than the K-wide sort networks XLA emits). An exact,
+branch-free reformulation of the reference's variable-length medians
 (horizontal_edge_aware_blur_rggb patternnoise.c:88-180, fix_column_noise
 patternnoise.c:185-282). All integer arithmetic matches C semantics.
 """
