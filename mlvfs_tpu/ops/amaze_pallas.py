@@ -222,12 +222,9 @@ def _chroma_rows(ref, orig_ref, wp, wpp, update_parity):
 # ---------------------------------------------------------------------------
 
 
-def _kernel(cfa_ref, red_ref, grn_ref, blu_ref,
-            hvwt_s, d0_s, d1_s, tmp_a, tmp_b,
-            *, wp, wpp):
-    """One 160-row tile: full AMaZE stage graph (see amaze_core for the
-    reference mapping of each block)."""
-    cfa = cfa_ref[0]
+
+def _stage_helpers(cfa):
+    """Shared per-stage context: checkerboard masks + cell helpers."""
     green, rbmask, yeven, xeven = _masks(cfa.shape)
     sgn = jnp.where(green, -1.0, 1.0)
 
@@ -242,8 +239,17 @@ def _kernel(cfa_ref, red_ref, grn_ref, blu_ref,
         other = jnp.where(yeven, from_right, from_left)
         return jnp.where(green, t, other)
 
-    s = _sh
+    def ring(a, offs):
+        return sum(_sh(a, dy, dx) for dy, dx in offs)
 
+    return green, rbmask, sgn, cells, cells_g, ring
+
+
+def _stage_cardinal(cfa):
+    """gradients → cardinal interpolation → variance selection/bounding →
+    hvwt → Nyquist test. cfa (rows, lanes) → (hcd, vcd, hvwt0, nyq0)."""
+    green, rbmask, sgn, cells, cells_g, ring = _stage_helpers(cfa)
+    s = _sh
     # gradients (amaze:568-579)
     delh = jnp.abs(s(cfa, 0, 1) - s(cfa, 0, -1))
     delv = jnp.abs(s(cfa, 1, 0) - s(cfa, -1, 0))
@@ -391,13 +397,15 @@ def _kernel(cfa_ref, red_ref, grn_ref, blu_ref,
         + GAUSSGRAD[5] * ring(delhvsqsum, [(-2, -2), (-2, 2), (2, -2), (2, 2)])
     )
     nyq0 = cells(jnp.where(rbmask & (nyqtest > 0), 1.0, 0.0))
+    return hcd, vcd, hvwt, nyq0
 
-    # sequential dilation in scratch (amaze:998-1010)
-    tmp_a[:] = nyq0
-    tmp_b[:] = nyq0
-    _dilate_rows(tmp_a, tmp_b, wp, wpp)
-    nyq = tmp_a[:]
 
+def _stage_area(cfa, nyq, hvwt, hcd, vcd):
+    """area interpolation inside dilated Nyquist regions → merged hvwt."""
+    green, rbmask, sgn, cells, cells_g, ring = _stage_helpers(cfa)
+    s = _sh
+    cl, cr_ = s(cfa, 0, -1), s(cfa, 0, 1)
+    cu, cd = s(cfa, -1, 0), s(cfa, 1, 0)
     # area interpolation in Nyquist regions (amaze:1016-1045)
     qh = cfa - 0.5 * (cl + cr_)
     qv = cfa - 0.5 * (cu + cd)
@@ -420,13 +428,16 @@ def _kernel(cfa_ref, red_ref, grn_ref, blu_ref,
     hvwt_area = hcdvar_a / (vcdvar_a + hcdvar_a)
     nyqc = cells(nmf) > 0
     hvwt = jnp.where(nyqc, cells(jnp.where(nm, hvwt_area, 0.0)), hvwt)
+    return hvwt
 
-    # hvwt refinement scan + populate G (amaze:1050-1075)
-    hvwt_s[:] = hvwt
-    tmp_a[:] = hvwt
-    _refine_rows(hvwt_s, tmp_a, wp, wpp)
-    hvwt = hvwt_s[:]
 
+def _stage_populate(cfa, hvwt, hcd, vcd, nyq):
+    """populate G + curvature + Nyquist refinement → (rgbgreen, Dgrb0)."""
+    green, rbmask, sgn, cells, cells_g, ring = _stage_helpers(cfa)
+    s = _sh
+    nm = (nyq > 0) & rbmask
+    nmf = nm.astype(jnp.float32)
+    nyqc = cells(nmf) > 0
     Dgrb0 = cells(jnp.where(rbmask, hcd * (1.0 - hvwt) + vcd * hvwt, 0.0))
     rgbgreen = jnp.where(rbmask, cfa + Dgrb0, cfa)
     curv_h = (rgbgreen - 0.5 * (s(rgbgreen, 0, -1) + s(rgbgreen, 0, 1))) ** 2
@@ -450,7 +461,13 @@ def _kernel(cfa_ref, red_ref, grn_ref, blu_ref,
     refined = (hcd * gvarv + vcd * gvarh) / (gvarv + gvarh)
     Dgrb0 = jnp.where(nyqc & rbmask, cells(jnp.where(nm, refined, 0.0)), Dgrb0)
     rgbgreen = jnp.where(rbmask, cfa + Dgrb0, rgbgreen)
+    return rgbgreen, Dgrb0
 
+
+def _stage_diag(cfa):
+    """diagonal R/B interpolation → (pmwt0, rbp, rbm)."""
+    green, rbmask, sgn, cells, cells_g, ring = _stage_helpers(cfa)
+    s = _sh
     # diagonal interpolation (amaze:1183-1256); delp/delm/dgsq recomputed
     # here from cfa rather than held live since the gradients stage
     delp_site = jnp.abs(s(cfa, -1, 1) - s(cfa, 1, -1))
@@ -515,12 +532,21 @@ def _kernel(cfa_ref, red_ref, grn_ref, blu_ref,
     rbp = cells(jnp.where(rbmask, rbp_, 0.0))
     rbm = cells(jnp.where(rbmask, rbm_, 0.0))
     pmwt = cells(jnp.where(rbmask, pmwt_site, 0.0))
+    return pmwt, rbp, rbm
 
-    # pmwt refinement scan + rbint (amaze:1277-1284)
-    d0_s[:] = pmwt
-    tmp_a[:] = pmwt
-    _refine_rows(d0_s, tmp_a, wp, wpp)
-    pmwt = d0_s[:]
+
+def _stage_gcorr(cfa, pmwt, rbp, rbm, hvwt, rgbgreen, Dgrb0):
+    """rbint + G correction via R+B + diag/cardinal merge, then split the
+    chroma planes → (rgbgreen, Dgrb0, Dgrb1). dirwts recomputed from cfa
+    (bit-identical to the cardinal stage's)."""
+    green, rbmask, sgn, cells, cells_g, ring = _stage_helpers(cfa)
+    s = _sh
+    delh = jnp.abs(s(cfa, 0, 1) - s(cfa, 0, -1))
+    delv = jnp.abs(s(cfa, 1, 0) - s(cfa, -1, 0))
+    dirwts0 = EPS + jnp.abs(s(cfa, 2, 0) - cfa) + jnp.abs(cfa - s(cfa, -2, 0)) + delv
+    dirwts1 = EPS + jnp.abs(s(cfa, 0, 2) - cfa) + jnp.abs(cfa - s(cfa, 0, -2)) + delh
+    cl, cr_ = s(cfa, 0, -1), s(cfa, 0, 1)
+    cu, cd = s(cfa, -1, 0), s(cfa, 1, 0)
     rbint = cells(jnp.where(rbmask, 0.5 * (cfa + rbm * (1.0 - pmwt) + rbp * pmwt), 0.0))
 
     # G correction via R+B (amaze:1287-1352)
@@ -566,16 +592,13 @@ def _kernel(cfa_ref, red_ref, grn_ref, blu_ref,
     bcell = cells(bsite.astype(jnp.float32)) > 0
     Dgrb1 = jnp.where(bcell, Dgrb0, 0.0)
     Dgrb0 = jnp.where(bcell, 0.0, Dgrb0)
+    return rgbgreen, Dgrb0, Dgrb1
 
-    d0_s[:] = Dgrb0
-    tmp_a[:] = Dgrb0
-    _chroma_rows(d0_s, tmp_a, wp, wpp, 1)   # G-R updates on B rows (odd)
-    d1_s[:] = Dgrb1
-    tmp_b[:] = Dgrb1
-    _chroma_rows(d1_s, tmp_b, wp, wpp, 0)   # G-B updates on R rows (even)
-    Dgrb0 = d0_s[:]
-    Dgrb1 = d1_s[:]
 
+def _stage_output(cfa, rgbgreen, hvwt, Dgrb0, Dgrb1):
+    """final R/G/B assembly (amaze:1401-1468)."""
+    green, rbmask, sgn, cells, cells_g, ring = _stage_helpers(cfa)
+    s = _sh
     # output (amaze:1401-1468)
     hv_u, hv_d = s(hvwt, -1, 0), s(hvwt, 1, 0)
     hv_l, hv_r = s(hvwt, 0, -1), s(hvwt, 0, 1)
@@ -590,13 +613,134 @@ def _kernel(cfa_ref, red_ref, grn_ref, blu_ref,
     blue_g = rgbgreen - chroma_at_green(Dgrb1)
     red = jnp.where(green, red_g, rgbgreen - Dgrb0) * 65535.0
     blue = jnp.where(green, blue_g, rgbgreen - Dgrb1) * 65535.0
+    return red, rgbgreen * 65535.0, blue
+
+
+def _kernel(cfa_ref, red_ref, grn_ref, blu_ref,
+            hvwt_s, d0_s, d1_s, tmp_a, tmp_b,
+            *, wp, wpp):
+    """One 160-row tile: full AMaZE stage graph in one kernel (see
+    amaze_core for the reference mapping of each block)."""
+    cfa = cfa_ref[0]
+
+    hcd, vcd, hvwt, nyq0 = _stage_cardinal(cfa)
+
+    # sequential dilation in scratch (amaze:998-1010)
+    tmp_a[:] = nyq0
+    tmp_b[:] = nyq0
+    _dilate_rows(tmp_a, tmp_b, wp, wpp)
+    nyq = tmp_a[:]
+
+    hvwt = _stage_area(cfa, nyq, hvwt, hcd, vcd)
+
+    # hvwt refinement scan (amaze:1050-1058)
+    hvwt_s[:] = hvwt
+    tmp_a[:] = hvwt
+    _refine_rows(hvwt_s, tmp_a, wp, wpp)
+    hvwt = hvwt_s[:]
+
+    rgbgreen, Dgrb0 = _stage_populate(cfa, hvwt, hcd, vcd, nyq)
+    pmwt0, rbp, rbm = _stage_diag(cfa)
+
+    # pmwt refinement scan (amaze:1280-1281)
+    d0_s[:] = pmwt0
+    tmp_a[:] = pmwt0
+    _refine_rows(d0_s, tmp_a, wp, wpp)
+    pmwt = d0_s[:]
+
+    rgbgreen, Dgrb0, Dgrb1 = _stage_gcorr(cfa, pmwt, rbp, rbm, hvwt, rgbgreen, Dgrb0)
+
+    # chrominance smoothing (amaze:1386-1398)
+    d0_s[:] = Dgrb0
+    tmp_a[:] = Dgrb0
+    _chroma_rows(d0_s, tmp_a, wp, wpp, 1)   # G-R updates on B rows (odd)
+    d1_s[:] = Dgrb1
+    tmp_b[:] = Dgrb1
+    _chroma_rows(d1_s, tmp_b, wp, wpp, 0)   # G-B updates on R rows (even)
+
+    red, grn, blu = _stage_output(cfa, rgbgreen, hvwt, d0_s[:], d1_s[:])
     red_ref[0] = red
-    grn_ref[0] = rgbgreen * 65535.0
-    blu_ref[0] = blue
+    grn_ref[0] = grn
+    blu_ref[0] = blu
 
 
-def amaze_demosaic_pallas(raw: jnp.ndarray, interpret: bool = False):
-    """Drop-in tile-resident equivalent of amaze_core.amaze_demosaic."""
+_VMEM_LIMIT = 100 * 1024 * 1024
+# the mega kernel's stage graph peaks at ~60 live tile planes (~56 MB at
+# 1080p widths) — past the compiler's conservative 16 MB scoped default but
+# within the core's physical VMEM; the split kernels stay well under
+
+
+def _mega_path(x, T, wp, wpp, interpret):
+    spec = pl.BlockSpec((1, TILE, wpp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    scratch = [pltpu.VMEM((TILE, wpp), jnp.float32) for _ in range(5)]
+    return pl.pallas_call(
+        functools.partial(_kernel, wp=wp, wpp=wpp),
+        grid=(T,),
+        in_specs=[spec],
+        out_specs=(spec, spec, spec),
+        out_shape=tuple(jax.ShapeDtypeStruct(x.shape, jnp.float32) for _ in range(3)),
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(x)
+
+
+def _split_path(x, T, wp, wpp, interpret):
+    """Stencil stages as per-tile kernels, raster passes as the sublane-
+    stacked kernels from amaze_scans_pallas (8 tiles per vector op vs the
+    mega kernel's one — the in-kernel scans are ~57% of its runtime)."""
+    from . import amaze_scans_pallas as sp
+
+    spec = pl.BlockSpec((1, TILE, wpp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+
+    def call(fn, n_out, *arrs):
+        def kern(*refs):
+            outs = fn(*(r[0] for r in refs[: len(arrs)]))
+            if n_out == 1:
+                outs = (outs,)
+            for r, o in zip(refs[len(arrs) :], outs):
+                r[0] = o
+
+        out_specs = (spec,) * n_out if n_out > 1 else spec
+        out_shape = tuple(jax.ShapeDtypeStruct(x.shape, jnp.float32) for _ in range(n_out))
+        if n_out == 1:
+            out_shape = out_shape[0]
+        return pl.pallas_call(
+            kern,
+            grid=(T,),
+            in_specs=[spec] * len(arrs),
+            out_specs=out_specs,
+            out_shape=out_shape,
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+            interpret=interpret,
+        )(*arrs)
+
+    hcd, vcd, hvwt, nyq0 = call(_stage_cardinal, 4, x)
+    nyq = sp.dilate_tiles(nyq0, wp, interpret)
+    hvwt = call(_stage_area, 1, x, nyq, hvwt, hcd, vcd)
+    hvwt = sp.refine_tiles(hvwt, wp, interpret)
+    rgbgreen, Dgrb0 = call(_stage_populate, 2, x, hvwt, hcd, vcd, nyq)
+    pmwt0, rbp, rbm = call(_stage_diag, 3, x)
+    pmwt = sp.refine_tiles(pmwt0, wp, interpret)
+    rgbgreen, D0, D1 = call(_stage_gcorr, 3, x, pmwt, rbp, rbm, hvwt, rgbgreen, Dgrb0)
+    D0 = sp.chroma_one_tiles(D0, wp, 1, interpret)  # G-R updates on B rows
+    D1 = sp.chroma_one_tiles(D1, wp, 0, interpret)  # G-B updates on R rows
+    return call(_stage_output, 3, x, rgbgreen, hvwt, D0, D1)
+
+
+def amaze_demosaic_pallas(raw: jnp.ndarray, interpret: bool = False,
+                          mode: str = None):
+    """Drop-in tile-resident equivalent of amaze_core.amaze_demosaic.
+
+    mode 'split' (default) runs the stencil stages as per-tile kernels with
+    the raster passes between them on sublane-stacked tiles; 'mega' runs
+    everything in one kernel per tile (same math — the split path's scans
+    simply process 8 tiles per vector op). MLVFS_AMAZE_PALLAS_MODE
+    overrides.
+    """
+    import os
+
+    mode = mode or os.environ.get("MLVFS_AMAZE_PALLAS_MODE", "split")
     h, w = raw.shape
     P = APRON
     cfa = jnp.pad(raw.astype(jnp.float32) / 65535.0, P, mode="reflect")
@@ -611,23 +755,8 @@ def amaze_demosaic_pallas(raw: jnp.ndarray, interpret: bool = False):
         x = x.at[..., wp : wp + WRAP].set(x[..., 0:WRAP])
         x = x.at[..., wpp - WRAP :].set(x[..., wp - WRAP : wp])
 
-    spec = pl.BlockSpec((1, TILE, wpp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-    scratch = [pltpu.VMEM((TILE, wpp), jnp.float32) for _ in range(5)]
-    red, grn, blu = pl.pallas_call(
-        functools.partial(_kernel, wp=wp, wpp=wpp),
-        grid=(T,),
-        in_specs=[spec],
-        out_specs=(spec, spec, spec),
-        out_shape=tuple(jax.ShapeDtypeStruct(x.shape, jnp.float32) for _ in range(3)),
-        scratch_shapes=scratch,
-        # the stage graph's peak live set is ~60 tile planes (~56 MB at
-        # 1080p widths) — well past the compiler's conservative 16 MB
-        # scoped default, within the core's physical VMEM
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
-        ),
-        interpret=interpret,
-    )(x)
+    path = _split_path if mode == "split" else _mega_path
+    red, grn, blu = path(x, T, wp, wpp, interpret)
 
     def unchunk(t):
         return core._unchunk_rows(t[..., :wp], hp)

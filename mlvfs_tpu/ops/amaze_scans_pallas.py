@@ -40,6 +40,8 @@ SCAN_TILE = core.SCAN_TILE
 # 16 MB scoped limit, which is why the chroma pass runs as two independent
 # single-plane calls rather than one four-block call.
 T_SUB = 8
+WRAP = 8  # wrap-copy lanes each side (scans read |dx| <= 3; downstream
+#           stencil stages read scanned planes with |dx| up to 8)
 
 
 def _pad_tiles(x_tiles: jnp.ndarray):
@@ -54,12 +56,12 @@ def _pad_tiles(x_tiles: jnp.ndarray):
     T, tile, wp = x_tiles.shape
     Tp = -(-T // T_SUB) * T_SUB
     wpp = -(-wp // 128) * 128
-    if 0 < wpp - wp < 6:
+    if 0 < wpp - wp < 2 * WRAP:
         wpp += 128
     x = jnp.pad(x_tiles, ((0, Tp - T), (0, 0), (0, wpp - wp)))
     if wpp > wp:
-        x = x.at[..., wp : wp + 3].set(x[..., 0:3])
-        x = x.at[..., wpp - 3 :].set(x[..., wp - 3 : wp])
+        x = x.at[..., wp : wp + WRAP].set(x[..., 0:WRAP])
+        x = x.at[..., wpp - WRAP :].set(x[..., wp - WRAP : wp])
     return x.transpose(1, 0, 2), T, wp
 
 
@@ -79,17 +81,17 @@ def _shift(a, dx):
 
 def _fix_wrap(a, wp):
     """Re-establish the wrap-copy invariant on a computed row: pad lanes
-    [wp, wp+3) hold lanes [0, 3) and the last 3 lanes hold [wp-3, wp), so
-    subsequent |dx| <= 3 rolls that read this (updated) row reproduce the
-    XLA scans' wrapping at the true frame width."""
+    [wp, wp+WRAP) hold lanes [0, WRAP) and the last WRAP lanes hold
+    [wp-WRAP, wp), so subsequent small rolls that read this (updated) row
+    reproduce the XLA scans' wrapping at the true frame width."""
     wpp = a.shape[-1]
     if wpp == wp:
         return a
     xs = jax.lax.broadcasted_iota(jnp.int32, a.shape[-2:], a.ndim - 1)
     left_copy = _roll(a, wp, a.ndim - 1)          # a[x - wp]
     right_copy = _roll(a, wpp - wp, a.ndim - 1)   # a[x - (wpp - wp)]
-    a = jnp.where((xs >= wp) & (xs < wp + 3), left_copy, a)
-    a = jnp.where(xs >= wpp - 3, right_copy, a)
+    a = jnp.where((xs >= wp) & (xs < wp + WRAP), left_copy, a)
+    a = jnp.where(xs >= wpp - WRAP, right_copy, a)
     return a
 
 
@@ -328,3 +330,49 @@ def chroma_pallas(D0: jnp.ndarray, D1: jnp.ndarray, hp: int, wp: int,
     out0 = _chroma_one(D0, hp, wp, 1, interpret)  # G-R updates on B rows
     out1 = _chroma_one(D1, hp, wp, 0, interpret)  # G-B updates on R rows
     return out0, out1
+
+
+# ---------------------------------------------------------------------------
+# tile-layout entry points (split AMaZE pipeline: arrays already chunked as
+# (T, SCAN_TILE, wpp) with wrap-copy pad lanes maintained by the producers)
+
+
+def _to_scan_layout(x_tiles):
+    T = x_tiles.shape[0]
+    Tp = -(-T // T_SUB) * T_SUB
+    x = jnp.pad(x_tiles, ((0, Tp - T), (0, 0), (0, 0)))
+    return x.transpose(1, 0, 2), T
+
+
+def _run_pass(kernel, x, interpret):
+    Tp, wpp = x.shape[1], x.shape[2]
+    spec = pl.BlockSpec((SCAN_TILE, T_SUB, wpp), lambda i: (0, i, 0),
+                        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        grid=(Tp // T_SUB,),
+        in_specs=[spec],
+        out_specs=spec,
+        interpret=interpret,
+    )(x)
+
+
+def refine_tiles(x_tiles, wp: int, interpret: bool = False):
+    x, T = _to_scan_layout(x_tiles)
+    out = _run_pass(functools.partial(_refine_kernel, wp=wp), x, interpret)
+    return out.transpose(1, 0, 2)[:T]
+
+
+def dilate_tiles(x_tiles, wp: int, interpret: bool = False):
+    x, T = _to_scan_layout(x_tiles)
+    out = _run_pass(functools.partial(_dilate_kernel, wp=wp), x, interpret)
+    return out.transpose(1, 0, 2)[:T]
+
+
+def chroma_one_tiles(x_tiles, wp: int, update_parity: int, interpret: bool = False):
+    x, T = _to_scan_layout(x_tiles)
+    out = _run_pass(
+        functools.partial(_chroma_plane_kernel, wp=wp, update_parity=update_parity),
+        x, interpret)
+    return out.transpose(1, 0, 2)[:T]

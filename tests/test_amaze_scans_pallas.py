@@ -107,3 +107,24 @@ def test_amaze_mega_kernel_matches_xla(rng):
     np.testing.assert_allclose(np.asarray(r1), np.asarray(r2), rtol=1e-5, atol=0.01)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-5, atol=0.01)
     np.testing.assert_allclose(np.asarray(b1), np.asarray(b2), rtol=1e-5, atol=0.01)
+
+
+def test_amaze_split_matches_mega(rng):
+    """The split pipeline (per-stage kernels + sublane-stacked scan kernels)
+    must match the mega kernel to float32-ULP level."""
+    import numpy as np
+
+    from mlvfs_tpu.ops.amaze_pallas import amaze_demosaic_pallas
+
+    h, w = 160, 224
+    y, x = np.mgrid[0:h, 0:w].astype(np.float64)
+    base = 9000 + 5000 * np.sin(x / 7.0) * np.cos(y / 13.0)
+    gains = np.array([[0.8, 1.0], [1.0, 0.6]])
+    img = np.clip(
+        base * gains[y.astype(int) % 2, x.astype(int) % 2] + rng.normal(0, 40, (h, w)),
+        0, 65535,
+    ).astype(np.float32)
+    mega = amaze_demosaic_pallas(jnp.asarray(img), interpret=True, mode="mega")
+    split = amaze_demosaic_pallas(jnp.asarray(img), interpret=True, mode="split")
+    for a, b in zip(mega, split):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=0.01)
