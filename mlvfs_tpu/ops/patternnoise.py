@@ -24,7 +24,6 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 _STRENGTH = 25  # 50/2 (patternnoise.c:104, call site :332)
 _THR = 500

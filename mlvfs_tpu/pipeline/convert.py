@@ -24,9 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..format.reader import MLVClip
-from ..format import mlv
 from ..ops import unpack as unpack_ops
-from ..ops import histogram as hist_ops
 from .config import ProcessingConfig
 from ..emit import dng as dng_emit
 
