@@ -109,7 +109,7 @@ def _bench_host(frame, spec):
     from mlvfs_tpu.format import synth
     from mlvfs_tpu.format.reader import MLVClip
     from mlvfs_tpu.pipeline.config import ProcessingConfig
-    from mlvfs_tpu.pipeline.convert import ClipConverter, dng_frame_name
+    from mlvfs_tpu.pipeline.convert import ClipConverter
 
     frames = int(os.environ.get("BENCH_FRAMES", "192"))
     batch = 24
