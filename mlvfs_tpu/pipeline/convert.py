@@ -29,6 +29,24 @@ from .config import ProcessingConfig
 from ..emit import dng as dng_emit
 
 
+@functools.lru_cache(maxsize=32)
+def _unpack_jit_for(bpp: int, h: int, w: int):
+    """Module-level jitted unpack, keyed by geometry: converters for clips
+    of the same shape share one compiled program instead of re-tracing a
+    fresh per-instance closure (directory conversions touch many clips)."""
+
+    @jax.jit
+    def run(words):
+        return unpack_ops.unpack_batch(words, bpp, h, w)
+
+    return run
+
+
+@jax.jit
+def _detile_jit_shared(samples):
+    return jax.vmap(unpack_ops.lj92_detile)(samples)
+
+
 def _mlv_basename(path: str) -> str:
     base = os.path.basename(path)
     return base[:-4] if base.upper().endswith(".MLV") else base
@@ -171,25 +189,14 @@ class ClipConverter:
 
     # ------------------------------------------------------------------ #
 
-    @functools.cached_property
+    @property
     def _unpack_jit(self):
         fh = self.fh0
-        bpp = fh.raw_info.bits_per_pixel
-        h, w = fh.yres, fh.xres
+        return _unpack_jit_for(fh.raw_info.bits_per_pixel, fh.yres, fh.xres)
 
-        @jax.jit
-        def run(words):
-            return unpack_ops.unpack_batch(words, bpp, h, w)
-
-        return run
-
-    @functools.cached_property
+    @property
     def _detile_jit(self):
-        @jax.jit
-        def run(samples):
-            return jax.vmap(unpack_ops.lj92_detile)(samples)
-
-        return run
+        return _detile_jit_shared
 
     def _put(self, host_array):
         """Pad to the fixed batch shape and stage on the device(s).
