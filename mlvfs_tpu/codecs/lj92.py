@@ -55,6 +55,19 @@ def _load():
             ctypes.c_void_p,  # rcs i32[n]
             ctypes.c_int,     # n_threads (0 = hw concurrency)
         ]
+        lib.lj92_encode_batch_buf.restype = ctypes.c_int
+        lib.lj92_encode_batch_buf.argtypes = [
+            ctypes.c_void_p,  # imgs u16[n*frame_px]
+            ctypes.c_int,     # n_frames
+            ctypes.c_int,     # width
+            ctypes.c_int,     # height
+            ctypes.c_int,     # ncomp
+            ctypes.c_int,     # bits
+            ctypes.c_void_p,  # out u8[n*per_cap]
+            ctypes.c_uint64,  # per_cap
+            ctypes.c_void_p,  # lens i64[n]
+            ctypes.c_int,     # n_threads (0 = hw concurrency)
+        ]
         lib.lj92_encode_buf.restype = ctypes.c_long
         lib.lj92_encode_buf.argtypes = [
             ctypes.c_void_p,
@@ -153,6 +166,35 @@ def encode(samples: np.ndarray, ncomp: int = 1, bits: int = 16) -> bytes:
     if n < 0:
         raise ValueError(f"LJ92 encode failed ({n})")
     return out[:n].tobytes()
+
+
+def encode_batch(imgs: np.ndarray, ncomp: int = 1, bits: int = 16,
+                 n_threads: int = 0):
+    """Encode N same-shaped (H, W*ncomp) u16 frames in one native call,
+    fanned over hardware threads. Returns a list of per-frame streams,
+    byte-identical to per-frame encode() (each frame gets its own optimal
+    Huffman table). Raises ValueError if any frame fails."""
+    imgs = np.ascontiguousarray(imgs, np.uint16)
+    n, h, row = imgs.shape
+    assert row % ncomp == 0
+    w = row // ncomp
+    if n == 0:
+        return []
+    lib = _load()
+    per_cap = h * row * 3 + 4096
+    out = np.empty((n, per_cap), np.uint8)
+    lens = np.zeros(n, np.int64)
+    lib.lj92_encode_batch_buf(
+        imgs.ctypes.data_as(ctypes.c_void_p),
+        n, w, h, ncomp, bits,
+        out.ctypes.data_as(ctypes.c_void_p),
+        per_cap,
+        lens.ctypes.data_as(ctypes.c_void_p),
+        n_threads,
+    )
+    if (lens < 0).any():
+        raise ValueError(f"LJ92 batch encode failed: {lens.tolist()}")
+    return [out[i, : lens[i]].tobytes() for i in range(n)]
 
 
 def encode_bayer_dng_strip(img: np.ndarray, bits: int = 16) -> bytes:

@@ -539,4 +539,37 @@ long lj92_encode_buf(const uint16_t* img, int width, int height, int ncomp, int 
     return (long)buf.size();
 }
 
+// Batch encode: n same-sized frames → per-frame slices of `out`, fanned
+// over hardware threads (one ctypes call per batch; each frame builds its
+// own optimal Huffman table exactly as lj92_encode_buf does, so slices are
+// byte-identical to per-frame calls). lens[i] receives the encoded size or
+// a negative error code; a failed frame does not fail the batch.
+int lj92_encode_batch_buf(const uint16_t* imgs, int n_frames, int width,
+                          int height, int ncomp, int bits,
+                          uint8_t* out, uint64_t per_cap, int64_t* lens,
+                          int n_threads) {
+    if (n_threads <= 0) {
+        n_threads = (int)std::thread::hardware_concurrency();
+        if (n_threads <= 0) n_threads = 1;
+    }
+    if (n_threads > n_frames) n_threads = n_frames > 0 ? n_frames : 1;
+    const uint64_t frame_px = (uint64_t)width * height * ncomp;
+    auto worker = [&](int t) {
+        for (int i = t; i < n_frames; i += n_threads) {
+            lens[i] = lj92_encode_buf(imgs + (uint64_t)i * frame_px, width,
+                                      height, ncomp, bits,
+                                      out + (uint64_t)i * per_cap, per_cap);
+        }
+    };
+    if (n_threads == 1) {
+        worker(0);
+    } else {
+        std::vector<std::thread> threads;
+        threads.reserve(n_threads);
+        for (int t = 0; t < n_threads; t++) threads.emplace_back(worker, t);
+        for (auto& th : threads) th.join();
+    }
+    return 0;
+}
+
 }  // extern "C"

@@ -344,12 +344,26 @@ class ClipConverter:
             imgs_np = np.asarray(jax.device_get(imgs), "<u2")
         metrics.count("frames", len(indices))
         metrics.count("bytes_out", int(imgs_np.nbytes))
+        strips = None
+        if cfg.compress == "lj92":
+            # one native call per batch, frames fanned over hardware threads
+            # (byte-identical to per-frame encode; see lj92_encode_batch_buf)
+            from ..codecs import lj92 as lj92_codec
+
+            with StageTimer("lj92_encode"):
+                strips = lj92_codec.encode_batch(
+                    imgs_np[: len(indices)], ncomp=2, bits=16
+                )
         for bi, i in enumerate(indices):
             fh = self.clip.frame_headers(i)
             black, white, bias = self._info_fields(info, bi)
             path = os.path.join(outdir, dng_frame_name(basename, i, name_scheme=cfg.name_scheme))
-            if cfg.compress == "lj92":
-                self._write_dng_lj92(path, fh, basename, imgs_np[bi], black, white, bias)
+            if strips is not None:
+                header = self._header_template(fh, basename, compression="lj92").render(
+                    fh, black_level=black, white_level=white, exposure_bias=bias,
+                    strip_byte_count=len(strips[bi]),
+                )
+                self._write_dng(path, header, np.frombuffer(strips[bi], np.uint8))
             else:
                 header = self._header_template(fh, basename).render(
                     fh, black_level=black, white_level=white, exposure_bias=bias
@@ -397,22 +411,6 @@ class ClipConverter:
             os.writev(fd, [header, memoryview(img).cast("B")])
         finally:
             os.close(fd)
-        os.replace(tmp, path)
-
-    def _write_dng_lj92(self, path: str, fh, basename: str, img: np.ndarray,
-                        black, white, bias):
-        """Lossless-compressed DNG: 2-component SOF3 strip (Compression=7)."""
-        from ..codecs import lj92 as lj92_codec
-
-        strip = lj92_codec.encode_bayer_dng_strip(img, bits=16)
-        header = self._header_template(fh, basename, compression="lj92").render(
-            fh, black_level=black, white_level=white, exposure_bias=bias,
-            strip_byte_count=len(strip),
-        )
-        tmp = path + ".tmp"
-        with open(tmp, "wb") as f:
-            f.write(header)
-            f.write(strip)
         os.replace(tmp, path)
 
     def _apply_info(self, fh, info, bi):

@@ -157,3 +157,15 @@ def test_decode_batch_matches_single(rng):
     # empty batch
     out3, rcs3 = lj92.decode_batch([], 16)
     assert out3.shape == (0, 16) and rcs3.shape == (0,)
+
+
+def test_encode_batch_matches_single(rng):
+    """Threaded native batch encode must be byte-identical to per-frame
+    encode (each frame builds its own optimal Huffman table)."""
+    imgs = np.stack([
+        rng.integers(0, 1 << 16, size=(24, 64), dtype=np.uint16) for _ in range(4)
+    ])
+    batch = lj92.encode_batch(imgs, ncomp=2, bits=16)
+    for i in range(4):
+        assert batch[i] == lj92.encode(imgs[i], ncomp=2, bits=16)
+    assert lj92.encode_batch(imgs[:0], ncomp=2) == []
