@@ -63,6 +63,9 @@ def main():
         comp = os.environ["BENCH_MODE"]
         fps = _bench_compressed(frame, spec, comp)
         metric = f"1080p_14bit_{comp}_host_decode_fps"
+    elif os.environ.get("BENCH_MODE") == "encode":
+        fps = _bench_encode(frame, spec)
+        metric = "1080p_16bit_lj92_host_encode_fps"
     else:
         # chain a reduction through the loop so every batch executes and the
         # relay round-trip is paid once (block_until_ready via the remote
@@ -178,6 +181,27 @@ def _bench_compressed(frame, spec, comp):
 
     shutil.rmtree(tmp, ignore_errors=True)
     return frames / dt
+
+
+def _bench_encode(frame, spec):
+    """Compressed-DNG output: native threaded batch LJ92 encode at rate
+    (the host-bound stage of --compress-dng; scales with cores)."""
+    import time as _time
+
+    from mlvfs_tpu.codecs import lj92 as lj92_codec
+
+    frames = int(os.environ.get("BENCH_FRAMES", "48"))
+    batch = 24
+    imgs = np.broadcast_to(frame.astype(np.uint16), (batch, spec.height, spec.width))
+    imgs = np.ascontiguousarray(imgs)
+    lj92_codec.encode_batch(imgs[:2], ncomp=2, bits=16)  # warm (lib build)
+    t0 = _time.perf_counter()
+    done = 0
+    while done < frames:
+        lj92_codec.encode_batch(imgs, ncomp=2, bits=16)
+        done += batch
+    dt = _time.perf_counter() - t0
+    return done / dt
 
 
 def _bench_e2e(frame, spec):
