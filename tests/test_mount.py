@@ -105,7 +105,16 @@ def fuse_mount(mlv_dir, tmp_path):
         pytest.skip("libfuse2 / /dev/fuse not available")
     mnt = str(tmp_path / "mnt")
     os.mkdir(mnt)
-    env = {k: v for k, v in os.environ.items()}
+    # the mount daemon always runs CPU JAX: the FUSE glue under test is
+    # host-side, and in the on-TPU suite an inherited relay env would make
+    # the first DNG read compile remotely for minutes — past kernel I/O
+    # timeouts (EIO). Same scrub recipe as conftest.py.
+    env = {
+        k: v for k, v in os.environ.items()
+        if not (k.startswith(("AXON_", "PALLAS_AXON", "TPU_"))
+                or k in ("PYTHONPATH", "MLVFS_TPU_TEST_ON_TPU"))
+    }
+    env["JAX_PLATFORMS"] = "cpu"
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env["PYTHONPATH"] = repo
     proc = subprocess.Popen(
