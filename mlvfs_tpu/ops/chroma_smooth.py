@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from . import evarith
 from .luts import EV_RESOLUTION, raw2ev_lut, ev2raw_lut
 
 # neighborhood cell offsets per method (chroma_smooth.c:1-16,41-48)
@@ -45,11 +46,16 @@ def _div2_trunc(t):
 def chroma_smooth_image(
     img: jnp.ndarray,
     method: int,
-    raw2ev: jnp.ndarray,
-    ev2raw_pos: jnp.ndarray,
+    ev_of,
+    inv_of,
     black: int,
 ):
-    """One frame. ``raw2ev`` indexed by pixel value, ``ev2raw_pos`` by EV>=0."""
+    """One frame. ``ev_of(pixels)`` maps raw->EV; ``inv_of(ev)`` maps a
+    non-negative EV in [0, 14*EVR) back to raw (black added here).
+
+    The transforms are callables so callers choose between LUT gathers and
+    the gather-free evarith forms (both bit-exact; the arithmetic one is
+    ~20x cheaper per pixel on TPU)."""
     h, w = img.shape
     offs = _offsets(method)
     x0, y0 = 4, 4
@@ -60,10 +66,10 @@ def chroma_smooth_image(
         return img
 
     src = img.astype(jnp.int32)
-    # one whole-frame raw->EV lookup; every neighbor read below is a slice of
-    # it (lookup commutes with slicing — 38 per-neighbor gathers collapse to
-    # one, which dominated device time at ~20x the arithmetic cost)
-    E = raw2ev[jnp.clip(src, 0, raw2ev.shape[0] - 1)]
+    # one whole-frame raw->EV transform; every neighbor read below is a slice
+    # of it (the transform commutes with slicing — 38 per-neighbor transforms
+    # collapse to one)
+    E = ev_of(src)
 
     def cells_of(a, dy, dx):
         # exclusive limit = last touched element + 1 (start + (n-1)*stride + 1)
@@ -103,7 +109,7 @@ def chroma_smooth_image(
     ok &= ge + db > EV_RESOLUTION
 
     def to_raw(e):
-        return ev2raw_pos[jnp.clip(e, 0, 14 * EV_RESOLUTION - 1)] + black
+        return inv_of(jnp.clip(e, 0, 14 * EV_RESOLUTION - 1)) + black
 
     out_r = jnp.where(ok, to_raw(ge + dr), cells(0, 0)).astype(img.dtype)
     out_b = jnp.where(ok, to_raw(ge + db), cells(1, 1)).astype(img.dtype)
@@ -140,12 +146,35 @@ def _luts16(black: int):
 # tables into the HLO slows compilation by an order of magnitude.
 @functools.partial(jax.jit, static_argnums=(1,))
 def _cs_jit(imgs, method, lut, inv, black):
-    return jax.vmap(lambda im: chroma_smooth_image(im, method, lut, inv, black))(imgs)
+    def ev_of(x):
+        return lut[jnp.clip(x, 0, lut.shape[0] - 1)]
+
+    def inv_of(e):
+        return inv[e]
+
+    return jax.vmap(lambda im: chroma_smooth_image(im, method, ev_of, inv_of, black))(imgs)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def _cs_jit_arith(imgs, method, black):
+    def ev_of(x):
+        return evarith.raw2ev16(x, black)
+
+    return jax.vmap(
+        lambda im: chroma_smooth_image(im, method, ev_of, evarith.ev2raw16_pos, black)
+    )(imgs)
 
 
 def chroma_smooth_batch(imgs: jnp.ndarray, method: int, black: int) -> jnp.ndarray:
-    """Batch (B, H, W) uint16 chroma smoothing (chroma_smooth, cs.c:49-84)."""
+    """Batch (B, H, W) uint16 chroma smoothing (chroma_smooth, cs.c:49-84).
+
+    Uses the gather-free arithmetic EV transforms (exhaustively verified
+    bit-exact at first use; see ops/evarith.py) and falls back to the LUT
+    gathers if the live backend ever fails the self-check.
+    """
     if method not in (2, 3, 5):
         raise ValueError(f"unsupported chroma smooth method {method}")
+    if evarith.self_check():
+        return _cs_jit_arith(imgs, method, int(black))
     lut, inv = _luts16(black)
     return _cs_jit(imgs, method, jnp.asarray(lut), jnp.asarray(inv), jnp.int32(black))

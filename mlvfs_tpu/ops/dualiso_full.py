@@ -35,6 +35,7 @@ from .luts import (
 )
 from .chroma_smooth import chroma_smooth_image
 from . import dualiso_analysis as analysis
+from . import evarith
 from . import evmath
 
 FULLRES_THR = 0.8
@@ -261,11 +262,24 @@ def _reconstruct_one(
     cs_method: int,
     exact_luts: bool,
     white_ev: int,
+    arith: bool = False,
 ):
     h, w = img.shape
-    ev2raw_pos = ev2raw0[10 * EV_RESOLUTION :]
 
-    if exact_luts:
+    if exact_luts and arith:
+        # gather-free bit-exact transforms (ops/evarith.py, self-check gated)
+        def ev_of(x):
+            return evarith.raw2ev20(jnp.clip(x, 0, (1 << 20) - 1), black20)
+
+        def ev2raw_at(e):
+            return evarith.ev2raw20(
+                jnp.clip(e, -10 * EV_RESOLUTION, 14 * EV_RESOLUTION - 1),
+                black20, white20, white_ev,
+            )
+
+        def frcurve_of(x):
+            return frcurve[x & 0xFFFFF]
+    elif exact_luts:
         def ev_of(x):
             return lut[jnp.clip(x, 0, lut.shape[0] - 1)]
 
@@ -333,8 +347,23 @@ def _reconstruct_one(
     halfres = ev2raw_at(mixed)
 
     if cs_method:
-        fullres_smooth = chroma_smooth_image(fullres, cs_method, lut, ev2raw_pos, 0) if use_fullres else fullres
-        halfres_smooth = chroma_smooth_image(halfres, cs_method, lut, ev2raw_pos, 0)
+        # the 20-bit chroma smooth (hdr.c:1488-1500) always uses the exact
+        # integer transforms; gather-free when the arithmetic forms verified
+        if arith:
+            def cs_ev_of(x):
+                return evarith.raw2ev20(jnp.clip(x, 0, (1 << 20) - 1), black20)
+
+            def cs_inv_of(e):
+                return evarith.ev2raw20(e, black20, white20, white_ev)
+        else:
+            def cs_ev_of(x):
+                return lut[jnp.clip(x, 0, lut.shape[0] - 1)]
+
+            def cs_inv_of(e):
+                return ev2raw0[10 * EV_RESOLUTION :][e]
+
+        fullres_smooth = chroma_smooth_image(fullres, cs_method, cs_ev_of, cs_inv_of, 0) if use_fullres else fullres
+        halfres_smooth = chroma_smooth_image(halfres, cs_method, cs_ev_of, cs_inv_of, 0)
     else:
         fullres_smooth = fullres
         halfres_smooth = halfres
@@ -389,12 +418,12 @@ def _apply_borders(p, dark, bright, row_bright, h, w):
     return dark, bright
 
 
-@functools.partial(jax.jit, static_argnames=("black20", "white20", "interp_method", "use_fullres", "use_alias", "cs_method", "exact_luts", "white_ev"))
+@functools.partial(jax.jit, static_argnames=("black20", "white20", "interp_method", "use_fullres", "use_alias", "cs_method", "exact_luts", "white_ev", "arith"))
 def reconstruct_batch(
     imgs, row_bright, s, a, b20, white_darkened, corr_ev, overlap,
     lut, ev2raw0, frcurve,
     *, black20, white20, interp_method, use_fullres, use_alias, cs_method,
-    exact_luts, white_ev,
+    exact_luts, white_ev, arith=False,
 ):
     fn = functools.partial(
         _reconstruct_one,
@@ -406,6 +435,7 @@ def reconstruct_batch(
         cs_method=cs_method,
         exact_luts=exact_luts,
         white_ev=white_ev,
+        arith=arith,
     )
     return jax.vmap(lambda im, r, ss, aa, bb, wd, ce, ov: fn(im, r, ss, aa, bb, wd, ce, ov, lut, ev2raw0, frcurve))(
         imgs, row_bright, s, a, b20, white_darkened, corr_ev, overlap
@@ -574,13 +604,16 @@ def cr2hdr20_batch(imgs, fh, cfg, cal):
     import math as _math
 
     white_ev = int(round(_math.log2(1 + max(white20 / 64.0 - black20 / 64.0, 0)) * EV_RESOLUTION))
-    if exact or cfg.chroma_smooth:
+    arith = evarith.self_check()
+    if (exact or cfg.chroma_smooth) and not arith:
         lut = jnp.asarray(np.asarray(raw2ev_lut20(black20, white20)))
         ev2raw0 = jnp.asarray(np.asarray(ev2raw_lut20(black20, white20)))
-        frcurve = jnp.asarray(np.asarray(fullres_curve(black20), np.float32))
     else:
         lut = jnp.zeros(1, jnp.int32)
         ev2raw0 = jnp.zeros(10 * EV_RESOLUTION + 1, jnp.int32)
+    if exact:
+        frcurve = jnp.asarray(np.asarray(fullres_curve(black20), np.float32))
+    else:
         frcurve = jnp.zeros(1, jnp.float32)
 
     sub_imgs = imgs[:, y_off : y_off + hh, :]
@@ -604,6 +637,7 @@ def cr2hdr20_batch(imgs, fh, cfg, cal):
         cs_method=cfg.chroma_smooth,
         exact_luts=exact,
         white_ev=white_ev,
+        arith=arith,
     )
     out = imgs.at[:, y_off : y_off + hh, :].set(out_sub)
     okj = jnp.asarray(ok)[:, None, None]
