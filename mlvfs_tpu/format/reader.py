@@ -138,6 +138,36 @@ class MLVClip:
             wbal=cp(snap["wbal"]),
         )
 
+    def frame_headers_shared(self, i: int) -> mlv.FrameHeaders:
+        """READ-ONLY FrameHeaders for emit-side consumers (header rendering).
+
+        Copies only the per-frame VIDF; the metadata blocks are writable
+        copies CACHED per snapshot and shared between frames — ~10x cheaper
+        than frame_headers() on the per-frame DNG write path. Callers must
+        not mutate the shared blocks (the converter's header templates and
+        render() only read them)."""
+        fno, pos, snap = self._vidf[i]
+        vidf = mlv.parse_block(self.chunks[fno], pos, mlv.VIDF)
+        cached = getattr(self, "_snap_copies", None)
+        if cached is None:
+            cached = self._snap_copies = {}
+        key = id(snap)
+        blocks = cached.get(key)
+        if blocks is None:
+
+            def cp(rec):
+                return np.array(rec, rec.dtype).reshape(()).copy()[()]
+
+            blocks = {k: cp(snap[k]) for k in
+                      ("mlvi", "rtci", "idnt", "rawi", "expo", "lens", "wbal")}
+            cached[key] = blocks
+        return mlv.FrameHeaders(
+            file_number=fno,
+            position=pos,
+            vidf=np.array(vidf, vidf.dtype).reshape(()).copy()[()],
+            **blocks,
+        )
+
     # -- payload access ------------------------------------------------------
 
     def frame_payload(self, i: int) -> np.ndarray:

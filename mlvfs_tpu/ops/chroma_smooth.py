@@ -71,20 +71,31 @@ def chroma_smooth_image(
     # collapse to one)
     E = ev_of(src)
 
-    def cells_of(a, dy, dx):
-        # exclusive limit = last touched element + 1 (start + (n-1)*stride + 1)
-        return jax.lax.slice(
-            a,
-            (y0 + dy, x0 + dx),
-            (y0 + dy + (ny - 1) * 2 + 1, x0 + dx + (nx - 1) * 2 + 1),
-            (2, 2),
-        )
+    # Strided (2,2) slices on the minor dim are expensive on TPU, and the
+    # neighborhood loop needs 3 per offset. All cell offsets are even, so
+    # four Bayer-phase planes (one strided slice each) turn every neighbor
+    # read into a unit-stride slice of a phase plane — the per-offset cost
+    # collapses to (almost) free views.
+    def _phase(a, dy, dx):
+        return jax.lax.slice(a, (dy, dx), (a.shape[0], a.shape[1]), (2, 2))
+
+    E_ph = {(dy, dx): _phase(E, dy, dx) for dy in (0, 1) for dx in (0, 1)}
+    src_ph = {(0, 0): _phase(src, 0, 0), (1, 1): _phase(src, 1, 1)}
+
+    def cells_of(planes, dy, dx):
+        # (y0+dy+2c, x0+dx+2c') = phase (dy&1, dx&1) at cell offset
+        # ((y0+dy)//2, (x0+dx)//2); y0=x0=4 and all dy/dx here keep the
+        # offsets integral
+        p = planes[(dy & 1, dx & 1)]
+        cy = (y0 + dy) >> 1
+        cx = (x0 + dx) >> 1
+        return jax.lax.slice(p, (cy, cx), (cy + ny, cx + nx))
 
     def cells(dy, dx):
-        return cells_of(src, dy, dx)
+        return cells_of(src_ph, dy, dx)
 
     def ev_cells(dy, dx):
-        return cells_of(E, dy, dx)
+        return cells_of(E_ph, dy, dx)
 
     g1c = ev_cells(0, 1)
     g2c = ev_cells(1, 0)

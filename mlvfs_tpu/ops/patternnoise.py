@@ -136,13 +136,29 @@ def _fix_column_noise(original, denoised, white):
     return jnp.clip(applied - mc, 0, 32760)
 
 
+def _use_pallas() -> bool:
+    import os
+
+    mode = os.environ.get("MLVFS_TPU_PN_PALLAS", "auto")
+    if mode == "0":
+        return False
+    if mode == "1":
+        return True
+    return jax.default_backend() == "tpu"
+
+
 def _fix_column_noise_rggb(raw, white):
     """One direction over the full Bayer frame (patternnoise.c:312-355)."""
     r = raw[0::2, 0::2]
     g1 = raw[0::2, 1::2]
     g2 = raw[1::2, 0::2]
     b = raw[1::2, 1::2]
-    rs, g1s, g2s, bs = _edge_aware_blur(r, g1, g2, b)
+    if _use_pallas():
+        from .patternnoise_pallas import edge_aware_blur_pallas
+
+        rs, g1s, g2s, bs = edge_aware_blur_pallas(r, g1, g2, b)
+    else:
+        rs, g1s, g2s, bs = _edge_aware_blur(r, g1, g2, b)
     r2 = _fix_column_noise(r.astype(jnp.int32), rs, white)
     g1f = _fix_column_noise(g1.astype(jnp.int32), g1s, white)
     g2f = _fix_column_noise(g2.astype(jnp.int32), g2s, white)

@@ -355,7 +355,9 @@ class ClipConverter:
                     imgs_np[: len(indices)], ncomp=2, bits=16
                 )
         for bi, i in enumerate(indices):
-            fh = self.clip.frame_headers(i)
+            # shared-snapshot headers: render() only reads them, and the
+            # per-frame full copies were ~90 us/frame of the write path
+            fh = self.clip.frame_headers_shared(i)
             black, white, bias = self._info_fields(info, bi)
             path = os.path.join(outdir, dng_frame_name(basename, i, name_scheme=cfg.name_scheme))
             if strips is not None:

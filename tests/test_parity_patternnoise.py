@@ -34,3 +34,23 @@ def test_pattern_noise_parity(size):
     ref = oracle.fix_pattern_noise(img.astype(np.int16), white=15000).astype(np.uint16)
     ours = np.asarray(fix_pattern_noise_batch(jnp.asarray(img[None]), 15000))[0]
     np.testing.assert_array_equal(ref, ours)
+
+
+def test_blur_pallas_matches_xla():
+    """The VMEM-resident Pallas blur equals the XLA formulation exactly
+    (which is itself bit-exact vs the C — the test above)."""
+    from mlvfs_tpu.ops.patternnoise import _edge_aware_blur
+    from mlvfs_tpu.ops.patternnoise_pallas import edge_aware_blur_pallas
+
+    rng = np.random.default_rng(3)
+    h2, w2 = 37, 96  # odd row count exercises the padding
+    chans = [
+        jnp.asarray(rng.integers(-2000, 16000, (h2, w2), dtype=np.int32))
+        for _ in range(4)
+    ]
+    # a flat patch makes wide windows; a hard edge breaks them
+    chans[1] = chans[1].at[10:20].set(4000)
+    want = _edge_aware_blur(*chans)
+    got = edge_aware_blur_pallas(*chans, interpret=True)
+    for g, w_ in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w_))
