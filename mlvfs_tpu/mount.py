@@ -288,7 +288,9 @@ class MLVFSMount:
         return 0
 
     def op_open(self, path, fi):
-        self.vfs.getattr(path.decode())  # existence check
+        # pin (and build, if cold) for the open-to-release window; per-chunk
+        # reads then hit the cache without refcount churn
+        self.vfs.open_file(path.decode())
         return 0
 
     def op_read(self, path, buf, size, offset, fi):
@@ -388,10 +390,16 @@ def mount(mountpoint: str, mlv_dir: str, config: ProcessingConfig = None,
     """Mount an MLV directory. Blocks until unmounted (fusermount -u).
 
     Single-threaded (-s): every callback runs under the GIL anyway, and the
-    reference documents -s as the safe mode (README.md:22-24); heavy work is
-    batched on the device regardless of FUSE concurrency.
+    reference documents -s as the safe mode (README.md:22-24). Concurrency
+    comes from the engine instead: a cold DNG read decodes its whole batch in
+    one device program, primes the sibling frames, and prefetches the next
+    batch in the background (VirtualFS readahead) — the role the reference's
+    FUSE thread pool plays, at batch rather than per-frame granularity.
+    MLVFS_TPU_READAHEAD=n overrides (1 = demand paging).
     """
-    vfs = VirtualFS(mlv_dir, config or ProcessingConfig(batch_size=1))
+    cfg = config or ProcessingConfig()
+    ra = os.environ.get("MLVFS_TPU_READAHEAD")
+    vfs = VirtualFS(mlv_dir, cfg, readahead=int(ra) if ra else None)
     bridge = MLVFSMount(vfs)
     ops = bridge.operations()
     lib = load_libfuse()

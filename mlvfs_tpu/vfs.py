@@ -37,17 +37,44 @@ _RESOLVE_RE = re.compile(r"(.+)(MLV|mlv)_1_\d+-\d+-\d+_\d+_[Cc]\d+")
 class ResourceManager:
     """Keyed cache of built byte buffers with the reference's eviction bounds
     (get_or_create_image_buffer / image_buffer_cleanup,
-    resource_manager.c:92-227): <= 4 unused buffers, <= 16 total."""
+    resource_manager.c:92-227): <= 4 unused buffers, <= 16 total.
+
+    The bounds are constructor-tunable: the mount's batch readahead primes a
+    window of frames ahead of the reader, which needs room for ~2 batches
+    (the reference's 4/16 fit its one-frame-per-FUSE-read demand paging)."""
 
     MAX_UNUSED = 4
     MAX_TOTAL = 16
 
-    def __init__(self):
+    def __init__(self, max_unused: int = None, max_total: int = None):
         self._lock = threading.Lock()
         self._entries = {}  # key -> dict(value, refs, lock)
         self._order = []
+        if max_unused is not None:
+            self.MAX_UNUSED = max_unused
+        if max_total is not None:
+            self.MAX_TOTAL = max_total
+
+    def put(self, key, value):
+        """Insert a prebuilt buffer (refs=0) — readahead priming."""
+        with self._lock:
+            e = self._entries.get(key)
+            if e is None:
+                e = {"value": value, "refs": 0, "lock": threading.Lock()}
+                self._entries[key] = e
+                self._order.append(key)
+            elif e["value"] is None:
+                e["value"] = value
+            self._evict()
+
+    def contains(self, key) -> bool:
+        with self._lock:
+            e = self._entries.get(key)
+            return e is not None and e["value"] is not None
 
     def get_or_create(self, key, builder):
+        """Build-or-get AND pin (+1 ref). Pair with release(); use fetch()
+        for unpinned access (per-chunk reads, one-shot server reads)."""
         with self._lock:
             e = self._entries.get(key)
             if e is None:
@@ -59,6 +86,25 @@ class ResourceManager:
             if e["value"] is None:
                 e["value"] = builder()
         return e["value"]
+
+    def fetch(self, key, builder):
+        """Build-or-get without pinning (refs unchanged)."""
+        with self._lock:
+            e = self._entries.get(key)
+            if e is None:
+                e = {"value": None, "refs": 0, "lock": threading.Lock()}
+                self._entries[key] = e
+                self._order.append(key)
+        with e["lock"]:
+            if e["value"] is None:
+                e["value"] = builder()
+        return e["value"]
+
+    def peek(self, key):
+        """Cached value or None; never builds, never pins."""
+        with self._lock:
+            e = self._entries.get(key)
+            return None if e is None else e["value"]
 
     def release(self, key):
         with self._lock:
@@ -90,13 +136,35 @@ class ResourceManager:
 
 
 class VirtualFS:
-    def __init__(self, mlv_dir: str, config: ProcessingConfig = None):
+    def __init__(self, mlv_dir: str, config: ProcessingConfig = None,
+                 readahead: int = None):
+        """``readahead``: frames decoded per cold DNG read (batched through
+        the conversion engine) and primed into the buffer cache, plus one
+        batch of background prefetch — sequential mount reads then ride the
+        batch engine instead of demand-paging one frame per FUSE round trip
+        (the reference gets concurrency from the FUSE thread pool instead,
+        README.md:22-24). 1 disables (pure demand paging)."""
         self.mlv_dir = os.path.abspath(mlv_dir)
         self.config = config or ProcessingConfig(batch_size=1)
-        self.buffers = ResourceManager()
+        if readahead is None:
+            readahead = max(1, self.config.batch_size)
+        self.readahead = max(1, int(readahead))
+        self.buffers = ResourceManager(
+            max_unused=max(ResourceManager.MAX_UNUSED, 2 * self.readahead),
+            max_total=max(ResourceManager.MAX_TOTAL, 3 * self.readahead),
+        )
         self._clips = {}
         self._converters = {}
         self._lock = threading.RLock()
+        self._ra_pool = None
+        self._ra_futures = {}  # (mlv_path, batch_start) -> Future
+        self._build_lock = threading.Lock()
+        self._path_cache = {}  # vpath -> buffer key (fast per-chunk reads)
+        self._attr_cache = {}  # mlv_path -> virtual file sizes
+        # observability: device-build counters, readable through the mount at
+        # /.mlvfs-stats (hidden from listings) so tests and users can verify
+        # sequential reads ride the batch engine rather than demand paging
+        self.stats = {"builds": 0, "frames_built": 0}
 
     # -- naming -------------------------------------------------------------
 
@@ -330,9 +398,16 @@ class VirtualFS:
 
     # -- attributes ---------------------------------------------------------------
 
+    def _stats_bytes(self) -> bytes:
+        import json
+
+        return (json.dumps(self.stats) + "\n").encode()
+
     def getattr(self, vpath: str):
         """(is_dir, size). DNG sizes come from headers without decoding
         (register_dng_attr semantics, resource_manager.c:319-391)."""
+        if vpath == "/.mlvfs-stats":
+            return False, len(self._stats_bytes())
         mlv_path, inside, real = self.resolve(vpath)
         if mlv_path is None:
             if real is None:
@@ -341,17 +416,28 @@ class VirtualFS:
             return os.path.isdir(real), st.st_size
         if not inside:
             return True, 0
-        clip = self._clip(mlv_path)
-        fh = clip.frame_headers(0)
         name = inside.split("/")[-1]
+        # per-clip attr cache: one stat serves every frame of a clip, like
+        # the reference's DNG attr mapping (resource_manager.c:319-391)
+        attrs = self._attr_cache.get(mlv_path)
+        if attrs is None:
+            clip = self._clip(mlv_path)
+            fh = clip.frame_headers(0) if clip.frame_count else None
+            attrs = {
+                "dng": dng_emit.dng_file_size(fh.xres, fh.yres) if fh else 0,
+                "wav": wav_size(clip),
+                "gif": gif_size(fh.xres, fh.yres) if fh else 0,
+                "log": len(clip.debug_log().encode()),
+            }
+            self._attr_cache[mlv_path] = attrs
         if name.endswith(".dng"):
-            return False, dng_emit.dng_file_size(fh.xres, fh.yres)
+            return False, attrs["dng"]
         if name.endswith(".wav"):
-            return False, wav_size(clip)
+            return False, attrs["wav"]
         if name.endswith("_PREVIEW.gif"):
-            return False, gif_size(fh.xres, fh.yres)
+            return False, attrs["gif"]
         if name.endswith(".log"):
-            return False, len(clip.debug_log().encode())
+            return False, attrs["log"]
         sub = self._mld_sub(mlv_path, inside)
         if sub is not None and os.path.exists(sub):
             st = os.stat(sub)
@@ -360,8 +446,59 @@ class VirtualFS:
 
     # -- reads ------------------------------------------------------------------------
 
+    def open_file(self, vpath: str):
+        """Pin a virtual file's buffer for the open-to-release window
+        (mlvfs_open/get_or_create_image_buffer semantics): builds the buffer
+        if cold and holds a reference so per-chunk reads can't race eviction.
+        Pass-through and .log files just get an existence check."""
+        if vpath == "/.mlvfs-stats":
+            return
+        cached = self._path_cache.get(vpath)
+        if cached is not None and len(cached) == 3 and cached[1] == "#dng":
+            mp, _, frame = cached
+            self.buffers.get_or_create(cached, lambda: self._build_dng(mp, frame))
+            return
+        mlv_path, inside, real = self.resolve(vpath)
+        if mlv_path is None or not inside:
+            if real is not None and os.path.isfile(real):
+                return
+            raise FileNotFoundError(vpath)
+        name = inside.split("/")[-1]
+        if name.endswith(".dng"):
+            frame = int(name[-10:-4])
+            dkey = (mlv_path, "#dng", frame)
+            self._path_cache[vpath] = dkey
+            self.buffers.get_or_create(dkey, lambda: self._build_dng(mlv_path, frame))
+        elif name.endswith(".wav"):
+            clip = self._clip(mlv_path)
+            self._path_cache[vpath] = (mlv_path, inside)
+            self.buffers.get_or_create((mlv_path, inside), lambda: build_wav(clip))
+        elif name.endswith("_PREVIEW.gif"):
+            clip = self._clip(mlv_path)
+            self._path_cache[vpath] = (mlv_path, inside)
+            self.buffers.get_or_create((mlv_path, inside), lambda: build_gif(clip))
+        else:
+            self.getattr(vpath)  # existence check for .log / .MLD entries
+
     def read(self, vpath: str, offset: int = 0, size: int = None) -> bytes:
-        """Offset-addressable read of a virtual file (mlvfs_read semantics)."""
+        """Offset-addressable read of a virtual file (mlvfs_read semantics).
+
+        Per-chunk fast path: a pinned (open) DNG buffer is returned from a
+        single dict+lock peek — the FUSE read callback for a 64 KiB chunk
+        does no path resolution beyond a small vpath cache and no refcount
+        churn (the pin belongs to open/release)."""
+        if vpath == "/.mlvfs-stats":
+            data = self._stats_bytes()
+            if size is None:
+                size = len(data) - offset
+            return data[offset : offset + size]
+        cached = self._path_cache.get(vpath)
+        if cached is not None:
+            data = self.buffers.peek(cached)
+            if data is not None:
+                if size is None:
+                    size = len(data) - offset
+                return data[offset : offset + size]
         data = self._file_bytes(vpath)
         if size is None:
             size = len(data) - offset
@@ -377,13 +514,21 @@ class VirtualFS:
         name = inside.split("/")[-1]
         clip = self._clip(mlv_path)
         key = (mlv_path, inside)
+        if len(self._path_cache) > 4096:
+            self._path_cache.clear()
         if name.endswith(".dng"):
             frame = int(name[-10:-4])
-            return self.buffers.get_or_create(key, lambda: self._build_dng(mlv_path, frame))
+            # frame-number key so batch readahead can prime siblings without
+            # reconstructing their virtual names
+            dkey = (mlv_path, "#dng", frame)
+            self._path_cache[vpath] = dkey
+            return self.buffers.fetch(dkey, lambda: self._build_dng(mlv_path, frame))
         if name.endswith(".wav"):
-            return self.buffers.get_or_create(key, lambda: build_wav(clip))
+            self._path_cache[vpath] = key
+            return self.buffers.fetch(key, lambda: build_wav(clip))
         if name.endswith("_PREVIEW.gif"):
-            return self.buffers.get_or_create(key, lambda: build_gif(clip))
+            self._path_cache[vpath] = key
+            return self.buffers.fetch(key, lambda: build_gif(clip))
         if name.endswith(".log"):
             return clip.debug_log().encode()
         sub = self._mld_sub(mlv_path, inside)
@@ -395,16 +540,90 @@ class VirtualFS:
     def release(self, vpath: str):
         mlv_path, inside, _ = self.resolve(vpath)
         if mlv_path and inside:
-            self.buffers.release((mlv_path, inside))
+            name = inside.split("/")[-1]
+            if name.endswith(".dng"):
+                self.buffers.release((mlv_path, "#dng", int(name[-10:-4])))
+            else:
+                self.buffers.release((mlv_path, inside))
+
+    # -- DNG building (batched readahead) -------------------------------------
 
     def _build_dng(self, mlv_path: str, frame: int) -> bytes:
+        """Cold-read DNG build. With readahead > 1 the whole aligned batch
+        containing ``frame`` runs through the conversion engine in ONE device
+        program, sibling frames are primed into the buffer cache, and the
+        next batch is scheduled on a background thread — sequential reads of
+        a mounted clip then decode at the batch engine's rate instead of one
+        demand-paged frame per FUSE round trip."""
+        B = self.readahead
+        if B <= 1:
+            return self._build_batch(mlv_path, [frame])[frame]
+        count = self._clip(mlv_path).frame_count
+        start = frame - (frame % B)
+        # if the background prefetcher is already building this batch, wait
+        # for it instead of duplicating the device work
+        with self._lock:
+            fut = self._ra_futures.get((mlv_path, start))
+        if fut is not None:
+            try:
+                fut.result()
+            except Exception:
+                pass  # prefetch failure falls back to a foreground build
+            data = self.buffers.peek((mlv_path, "#dng", frame))
+            if data is not None:
+                self._schedule_readahead(mlv_path, start + B, count)
+                return data
+        indices = list(range(start, min(start + B, count)))
+        built = self._build_batch(mlv_path, indices)
+        for i, data in built.items():
+            if i != frame:
+                self.buffers.put((mlv_path, "#dng", i), data)
+        self._schedule_readahead(mlv_path, start + B, count)
+        return built[frame]
+
+    def _build_batch(self, mlv_path: str, indices) -> dict:
+        """Decode+process ``indices`` as one batch → {frame: dng_bytes}."""
         conv = self._converter(mlv_path)
         clip = conv.clip
-        imgs = conv.decode_batch([frame])
-        imgs, info = conv.process_batch(imgs, [frame])
-        img = np.asarray(imgs)[0].astype("<u2")
-        fh = clip.frame_headers(frame)
-        conv._apply_info(fh, info, 0)
+        with self._build_lock:  # converters are not concurrency-safe
+            self.stats["builds"] += 1
+            self.stats["frames_built"] += len(indices)
+            imgs = conv.decode_batch(indices)
+            imgs, info = conv.process_batch(imgs, indices)
+            imgs_np = np.asarray(imgs).astype("<u2")
         basename = os.path.splitext(os.path.basename(mlv_path))[0]
-        header = dng_emit.build_dng_header(fh, self.config.fps, basename)
-        return header + img.tobytes()
+        out = {}
+        for bi, i in enumerate(indices):
+            fh = clip.frame_headers(i)
+            conv._apply_info(fh, info, bi)
+            header = dng_emit.build_dng_header(fh, self.config.fps, basename)
+            out[i] = header + imgs_np[bi].tobytes()
+        return out
+
+    def _schedule_readahead(self, mlv_path: str, start: int, count: int):
+        if start >= count:
+            return
+        bkey = (mlv_path, start)
+        with self._lock:
+            if bkey in self._ra_futures or self.buffers.contains((mlv_path, "#dng", start)):
+                return
+            if self._ra_pool is None:
+                import concurrent.futures as _f
+
+                self._ra_pool = _f.ThreadPoolExecutor(
+                    max_workers=1, thread_name_prefix="mlvfs-ra"
+                )
+
+        def _prefetch():
+            try:
+                indices = list(range(start, min(start + self.readahead, count)))
+                built = self._build_batch(mlv_path, indices)
+                for i, data in built.items():
+                    self.buffers.put((mlv_path, "#dng", i), data)
+            finally:
+                with self._lock:
+                    self._ra_futures.pop(bkey, None)
+
+        with self._lock:
+            if bkey not in self._ra_futures:
+                self._ra_futures[bkey] = self._ra_pool.submit(_prefetch)
