@@ -86,6 +86,52 @@ def main():
         fps = batch * n_batches / dt
         metric = "1080p_14bit_raw_to_dng_frames_per_sec_per_chip"
 
+        # second recorded number: the fused processing program
+        # (unpack → deflicker median → chroma smooth 3x3 → stripes apply),
+        # i.e. a flags-on conversion config rather than one kernel. The
+        # headline metric stays config 1 (plain RAW→DNG), which is what the
+        # 500 f/s baseline target names.
+        extra = {}
+        try:
+            sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+            import __graft_entry__ as graft
+
+            pfn = graft._pipeline_fn(bpp=bpp, h=height, w=width, chroma_method=3)
+            gains = jax.device_put(np.full(8, 65537, np.int32))
+
+            def fused(wsd, g, c):
+                imgs, med = pfn(wsd, g)
+                return (imgs.astype(jnp.uint32) + c).sum(dtype=jnp.uint32) + med.sum().astype(jnp.uint32)
+
+            runf = jax.jit(fused)
+            pb = min(batch, 8)
+            devp = jax.device_put(np.ascontiguousarray(words[:pb]))
+            int(runf(devp, gains, jnp.uint32(0)))
+            nb = max(10, n_batches // 4)
+            t0 = time.perf_counter()
+            c = jnp.uint32(0)
+            for _ in range(nb):
+                c = runf(devp, gains, c)
+            int(c)
+            dtf = time.perf_counter() - t0
+            extra["pipeline_fps"] = round(pb * nb / dtf, 2)
+            extra["pipeline_ops"] = "unpack+deflicker+cs3x3+stripes"
+        except Exception as e:  # the headline number must survive regardless
+            extra["pipeline_error"] = str(e)[:200]
+
+        print(
+            json.dumps(
+                {
+                    "metric": metric,
+                    "value": round(fps, 2),
+                    "unit": "frames/sec",
+                    "vs_baseline": round(fps / 500.0, 3),
+                    **extra,
+                }
+            )
+        )
+        return
+
     print(
         json.dumps(
             {

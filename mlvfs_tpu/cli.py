@@ -37,6 +37,8 @@ def _add_processing_flags(p: argparse.ArgumentParser):
     p.add_argument("--really-bad-pix", action="store_true", help="Aggressive bad pixel fix")
     p.add_argument("--fix-pattern-noise", action="store_true", help="Fix row/column noise in shadows")
     p.add_argument("--stripes", action="store_true", help="Vertical stripe correction in highlights")
+    p.add_argument("--stripes-batch-cal", action="store_true",
+                   help="Calibrate stripes from the whole (sharded) first batch on device instead of frame 0 on host")
     p.add_argument("--deflicker", type=int, default=0, metavar="N", help="Per-frame exposure compensation target median")
     p.add_argument("--dual-iso-preview", action="store_true", help="Preview Dual ISO files (fast)")
     p.add_argument("--dual-iso", action="store_true", help="Render Dual ISO files (high quality)")
@@ -83,6 +85,7 @@ def config_from_args(args) -> ProcessingConfig:
         compress="lj92" if getattr(args, "compress_dng", False) else "none",
         shard_devices=getattr(args, "devices", 0),
         resume=getattr(args, "resume", False),
+        stripes_batch_cal=getattr(args, "stripes_batch_cal", False),
     )
 
 

@@ -139,9 +139,13 @@ def amaze_edge_interpolate(
     }
 
     def box11(d):
-        c = jnp.cumsum(d, axis=-1)
-        # sum_{j=-5..5} d(x+j) = c(x+5) - c(x-6); int32 wraparound is exact
-        return _sh(c, 0, SEARCH_AREA) - _sh(c, 0, -SEARCH_AREA - 1)
+        # sum_{j=-5..5} d(x+j) by shift-doubling partial sums: 8 elementwise
+        # passes instead of cumsum's ~13 (log-prefix passes + 2 taps); exact
+        # integer adds. S_k(x) = sum_{j=0..k-1} d(x+j).
+        s2 = d + _sh(d, 0, 1)
+        s4 = s2 + _sh(s2, 0, 2)
+        s8 = s4 + _sh(s4, 0, 4)
+        return _sh(s8, 0, -SEARCH_AREA) + _sh(s2, 0, 3) + _sh(d, 0, SEARCH_AREA)
 
     # running argmin over directions — never materializes the (12, h, w)
     # score stack, letting XLA fuse each direction's taps into the compare

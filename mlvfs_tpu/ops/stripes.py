@@ -107,6 +107,82 @@ def compute_correction(
     return gains.astype(np.int32), needed
 
 
+@functools.partial(jax.jit, static_argnums=(3,))
+def calibrate_batch_device(imgs, black, white, frame_size_bytes: int):
+    """Sharded multi-frame stripe calibration — the mesh-native upgrade of
+    compute_correction (stripes.c:143-248).
+
+    The reference calibrates from frame 0 only "for speed reasons"
+    (stripes.c:97-99); on a device mesh the whole first batch participates:
+    each chip computes log2-ratio statistics over its frame shard and the
+    per-offset medians come from 17 bisection rounds whose counts reduce
+    over the sharded frame axis — GSPMD inserts the ICI all-reduces
+    (`psum`) for every cross-shard sum below. Opt-in via
+    ProcessingConfig.stripes_batch_cal: medians over B frames differ from
+    the reference's single-frame values by design (more robust, not
+    bit-parity; the apply step stays bit-exact either way).
+
+    Dither is omitted: the quantization spikes it defeats average out over
+    thousands of samples per frame times the batch.
+
+    Returns (gains[8] int32, needed bool_scalar).
+    """
+    b, h, w = imgs.shape
+    nb = w // 8
+    p = imgs.astype(jnp.float32).reshape(b, h, nb, 8) - black
+    # column k of block i; refs 8/9 are columns 0/1 of block i+1. Blocks with
+    # start >= w-10 are excluded like the C loop bound (stripes.c:175).
+    n_use = min((w - 10 + 7) // 8, nb - 1)
+    cur = p[:, :, :n_use, :]
+    nxt = p[:, :, 1 : n_use + 1, :2]
+    too_bright = white / 1.5
+
+    combos = [
+        (2, ("cur", 0), 3), (2, ("nxt", 0), 1),
+        (3, ("cur", 1), 3), (3, ("nxt", 1), 1),
+        (4, ("cur", 0), 2), (4, ("nxt", 0), 2),
+        (5, ("cur", 1), 2), (5, ("nxt", 1), 2),
+        (6, ("cur", 0), 1), (6, ("nxt", 0), 3),
+        (7, ("cur", 1), 1), (7, ("nxt", 1), 3),
+    ]
+
+    buckets = []
+    for offset, (which, rc), mult in combos:
+        a = cur[..., rc] if which == "cur" else nxt[..., rc]
+        bcol = cur[..., offset]
+        valid = (jnp.minimum(a, bcol) >= 32) & (jnp.maximum(a, bcol) <= too_bright)
+        ev = jnp.log2(jnp.maximum(a, 1e-9) / jnp.maximum(bcol, 1e-9))
+        bk = jnp.clip(
+            jnp.trunc(FIXP_RANGE / 2 + ev * (FIXP_RANGE / 2)), 0, FIXP_RANGE - 1
+        ).astype(jnp.int32)
+        buckets.append((offset, bk, valid, mult))
+
+    gains = [FIXP_ONE, FIXP_ONE]
+    needed = jnp.zeros((), bool)
+    for j in range(2, 8):
+        js = [(bk, v, m) for (o, bk, v, m) in buckets if o == j]
+        num = sum(m * jnp.sum(v, dtype=jnp.int32) for (bk, v, m) in js)
+        lo = jnp.zeros((), jnp.int32)
+        hi = jnp.full((), FIXP_RANGE, jnp.int32)
+        for _ in range(17):
+            mid = (lo + hi) >> 1
+            cnt = sum(
+                m * jnp.sum(v & (bk <= mid), dtype=jnp.int32) for (bk, v, m) in js
+            )
+            take = cnt >= (num + 1) // 2
+            hi = jnp.where(take, mid, hi)
+            lo = jnp.where(take, lo, mid + 1)
+        ev = (lo.astype(jnp.float32) - FIXP_RANGE / 2) / (FIXP_RANGE / 2)
+        g = jnp.trunc(jnp.exp2(ev) * FIXP_ONE).astype(jnp.int32)
+        enough = num >= b * (frame_size_bytes // 128)
+        g = jnp.where(enough, g, 0)
+        gains.append(g)
+        needed = needed | (
+            (g != 0) & (jnp.abs(g.astype(jnp.float32) / FIXP_ONE - 1.0) > 0.002)
+        )
+    return jnp.stack([jnp.asarray(g, jnp.int32) for g in gains]), needed
+
+
 @jax.jit
 def _apply(imgs, col_gains, black, white):
     p = imgs.astype(jnp.int32)

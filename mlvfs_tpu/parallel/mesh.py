@@ -3,12 +3,16 @@
 The reference's only parallelism is a FUSE thread pool decoding independent
 frames concurrently (SURVEY.md section 2.4). The TPU-native equivalent is a
 1-D device mesh over the *frame* axis: batches of packed frames are sharded
-across chips (pure data parallelism — frames are independent), and the few
-cross-frame reductions (per-clip stripe calibration, dual-ISO exposure fits)
-become XLA collectives over the same mesh.
+across chips — pure data parallelism, because frames are independent by
+design (the reference's only cross-frame state is per-clip calibration).
 
-No NCCL/MPI analogue is needed: `jax.jit` with sharded inputs inserts ICI
-collectives automatically.
+Collectives exist exactly where cross-frame state does: the opt-in batch
+stripe calibration (`ops/stripes.calibrate_batch_device`,
+ProcessingConfig.stripes_batch_cal) reduces its bisection counts over the
+sharded frame axis, and GSPMD lowers those sums to mesh all-reduces. The
+default per-frame pipeline needs — and emits — no collectives; `jax.jit`
+with sharded inputs inserts them automatically wherever a reduction
+crosses the shard axis. No NCCL/MPI analogue is needed.
 """
 
 from __future__ import annotations

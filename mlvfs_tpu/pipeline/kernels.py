@@ -125,14 +125,23 @@ def run_pipeline(imgs, fh, cfg: ProcessingConfig, cal: ClipCalibration, info: di
         from ..ops import stripes as stripes_ops
 
         if not cal.stripes_done:
-            # gains from the first processed frame only (stripes.c:97-99)
-            gains, needed = stripes_ops.compute_correction(
-                np.asarray(imgs[0]),
-                info["black_level"],
-                info["white_level"],
-                fh.xres,
-                frame_size_bytes=ri.frame_size,
-            )
+            if cfg.stripes_batch_cal:
+                # whole-first-batch device calibration: per-offset medians
+                # via bisection whose counts all-reduce over the (sharded)
+                # frame axis (ops/stripes.calibrate_batch_device)
+                g_dev, needed_dev = stripes_ops.calibrate_batch_device(
+                    imgs, info["black_level"], info["white_level"], int(ri.frame_size)
+                )
+                gains, needed = np.asarray(g_dev), bool(needed_dev)
+            else:
+                # gains from the first processed frame only (stripes.c:97-99)
+                gains, needed = stripes_ops.compute_correction(
+                    np.asarray(imgs[0]),
+                    info["black_level"],
+                    info["white_level"],
+                    fh.xres,
+                    frame_size_bytes=ri.frame_size,
+                )
             cal.stripes_gains, cal.stripes_needed = gains, needed
             cal.stripes_done = True
         if cal.stripes_needed:

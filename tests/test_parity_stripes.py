@@ -86,3 +86,27 @@ def test_stripes_apply_saturation_and_threshold(tmp_path):
     np.testing.assert_array_equal(ours[1], img[1])
     col0 = ours[:, 0::8]
     np.testing.assert_array_equal(col0, img[:, 0::8])  # gain FIXP_ONE+thresh... col0 gain=65536 → scaled == orig
+
+
+def test_stripes_batch_device_calibration_close(tmp_path):
+    """The sharded device calibration (batch medians, no dither) lands within
+    dither tolerance of the host frame-0 analysis and of the reference, and
+    agrees on `needed`."""
+    pattern = [1.0, 1.0, 1.012, 0.99, 1.008, 1.0, 0.985, 1.004]
+    fh, spec, img = _striped_clip(tmp_path, pattern)
+
+    host_gains, host_needed = stripes_ops.compute_correction(
+        img, spec.black, spec.white, spec.width, frame_size_bytes=fh.raw_info.frame_size
+    )
+    batch = jnp.asarray(np.stack([img] * 4))
+    dev_gains, dev_needed = stripes_ops.calibrate_batch_device(
+        batch, spec.black, spec.white, int(fh.raw_info.frame_size)
+    )
+    dev_gains = np.asarray(dev_gains)
+    assert bool(dev_needed) == host_needed
+    active = host_gains != 0
+    assert (dev_gains[active] != 0).all()
+    # medians of thousands of samples: dither-free device medians sit within
+    # ~0.1% of the dithered host medians
+    rel = np.abs(dev_gains[active] / host_gains[active].astype(np.float64) - 1)
+    assert rel.max() < 2e-3, (dev_gains, host_gains)
