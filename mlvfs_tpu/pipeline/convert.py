@@ -94,6 +94,8 @@ class ClipConverter:
         )
         self._calibration = None
         self._templates = {}
+        self._buf_ring = {}
+        self._buf_turn = 0
         self._sharding = None
         self._batch_target = self.config.batch_size
         n_dev = int(getattr(self.config, "shard_devices", 0) or 0)
@@ -172,12 +174,15 @@ class ClipConverter:
     def _gather_packed_batch(self, indices):
         """Stack packed word streams for a batch of frames (uncompressed clips).
 
-        np.empty + explicit tail zeroing: a zeroed allocation would fault and
-        zero the whole ~batch·n_words·2 B region every batch, which measurably
-        bounds host throughput at 1080p (only the payload copy is needed)."""
+        Buffers come from a small reuse ring: a fresh allocation per batch
+        costs the kernel a zero-fill of ~85 MB of new anonymous pages at
+        1080p (even np.empty pages are zeroed on first touch) — reusing warm
+        pages leaves only the payload copy. The ring is deep enough that a
+        buffer is never rewritten while a previous batch's device transfer
+        may still be reading it (prefetch depth + 1)."""
         fh = self.fh0
         n_words = unpack_ops.words_for_pixels(fh.yres * fh.xres, fh.raw_info.bits_per_pixel)
-        out = np.empty((len(indices), n_words), "<u2")
+        out = self._gather_buffer((len(indices), n_words))
         for bi, i in enumerate(indices):
             payload = np.asarray(self.clip.frame_payload(i))
             words = unpack_ops.bytes_to_words_np(payload)
@@ -186,6 +191,16 @@ class ClipConverter:
             if n < n_words:  # short/corrupt frame: blank the tail
                 out[bi, n:] = 0
         return out
+
+    def _gather_buffer(self, shape) -> np.ndarray:
+        """Warm staging buffer from a small ring (see _gather_packed_batch)."""
+        depth = max(2, int(self.config.prefetch) + 1)
+        self._buf_turn = (self._buf_turn + 1) % depth
+        key = (shape, self._buf_turn)
+        buf = self._buf_ring.get(key)
+        if buf is None:
+            buf = self._buf_ring[key] = np.empty(shape, "<u2")
+        return buf
 
     # ------------------------------------------------------------------ #
 
@@ -354,20 +369,30 @@ class ClipConverter:
                 strips = lj92_codec.encode_batch(
                     imgs_np[: len(indices)], ncomp=2, bits=16
                 )
+        compression = "lj92" if strips is not None else "none"
+        tpl = None
+        tpl_ident = None
         for bi, i in enumerate(indices):
             # shared-snapshot headers: render() only reads them, and the
             # per-frame full copies were ~90 us/frame of the write path
             fh = self.clip.frame_headers_shared(i)
+            # template reuse by block identity: frame_headers_shared hands out
+            # the SAME metadata objects while the clip's snapshot is unchanged,
+            # so an `is`-check replaces the 4x tobytes() key per frame
+            ident = (id(fh.expo), id(fh.lens), id(fh.wbal), id(fh.rtci))
+            if ident != tpl_ident:
+                tpl = self._header_template(fh, basename, compression=compression)
+                tpl_ident = ident
             black, white, bias = self._info_fields(info, bi)
             path = os.path.join(outdir, dng_frame_name(basename, i, name_scheme=cfg.name_scheme))
             if strips is not None:
-                header = self._header_template(fh, basename, compression="lj92").render(
+                header = tpl.render(
                     fh, black_level=black, white_level=white, exposure_bias=bias,
                     strip_byte_count=len(strips[bi]),
                 )
                 self._write_dng(path, header, np.frombuffer(strips[bi], np.uint8))
             else:
-                header = self._header_template(fh, basename).render(
+                header = tpl.render(
                     fh, black_level=black, white_level=white, exposure_bias=bias
                 )
                 self._write_dng(path, header, imgs_np[bi])
