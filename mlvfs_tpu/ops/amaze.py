@@ -78,6 +78,86 @@ def squeeze_rows(row_bright, h):
     return jnp.where(rb, jnp.minimum(sq_bright, h - 1), sq_dark).astype(jnp.int32)
 
 
+def _use_edge_pallas() -> bool:
+    import os
+
+    mode = os.environ.get("MLVFS_TPU_EDGE_PALLAS", "auto")
+    if mode == "0":
+        return False
+    if mode == "1":
+        return True
+    return jax.default_backend() == "tpu"
+
+
+def edge_pick_xla(evgray, EW_a, EW_b, s, restricted, h, w):
+    """Edge scoring + direction-averaged pick, XLA form (CPU path and the
+    Pallas equivalence anchor): per-pixel best of 12 directions scored over
+    an 11-offset window (hdr.c:1094-1175), then the EV mean of the picked
+    direction and its two neighbors (hdr.c:1182-1210). Returns the EV-index
+    plane fed to ev2raw."""
+    yy = jnp.arange(h)[:, None]
+    xx = jnp.arange(w)[None, :]
+    # the four row classes used by the direction table: y + {2s, s, -2s, -3s}
+    T = {
+        2: _srow_shift(evgray, s, 2, 0),
+        1: _srow_shift(evgray, s, 1, 0),
+        -2: _srow_shift(evgray, -s, 2, 0),
+        -3: _srow_shift(evgray, -s, 3, 0),
+    }
+
+    def box11(d):
+        # sum_{j=-5..5} d(x+j) by shift-doubling partial sums: 8 elementwise
+        # passes instead of cumsum's ~13 (log-prefix passes + 2 taps); exact
+        # integer adds. S_k(x) = sum_{j=0..k-1} d(x+j).
+        s2 = d + _sh(d, 0, 1)
+        s4 = s2 + _sh(s2, 0, 2)
+        s8 = s4 + _sh(s4, 0, 4)
+        return _sh(s8, 0, -SEARCH_AREA) + _sh(s2, 0, 3) + _sh(d, 0, SEARCH_AREA)
+
+    # running argmin over directions — never materializes the (12, h, w)
+    # score stack, letting XLA fuse each direction's taps into the compare
+    best = None
+    d_best = None
+    for di, (ack, a, b, bck) in enumerate(EDGE_DIRECTIONS):
+        p1 = _sh(T[ack[1]], 0, ack[0])
+        p2 = _sh(T[a[1]], 0, a[0])
+        p3 = _sh(T[b[1]], 0, b[0])
+        p4 = _sh(T[bck[1]], 0, bck[0])
+        d = jnp.abs(p1 - p2) + jnp.abs(p2 - p3) + jnp.abs(p3 - p4)
+        score = box11(d) + abs(di - D0) * EV_RESOLUTION // 8
+        if best is None:
+            best, d_best = score, jnp.zeros_like(score)
+        else:
+            take = score < best  # argmin keeps the first minimum
+            best = jnp.where(take, score, best)
+            d_best = jnp.where(take, di, d_best)
+    d_best = d_best.astype(jnp.int32)
+    d_best = jnp.where(restricted, D0, d_best)
+    # edge_direction defaults to d0 outside the scored window (hdr.c:1065-1069)
+    window = (yy >= 5) & (yy < h - 5) & (xx >= 5) & (xx < w - 5)
+    d_best = jnp.where(window, d_best, D0)
+
+    nd = len(EDGE_DIRECTIONS)
+    idx0 = d_best
+    idxp = jnp.minimum(d_best + 1, nd - 1)
+    idxm = jnp.maximum(d_best - 1, 0)
+    # accumulate the three per-pixel selections in one pass over directions
+    # (select chain, not take_along_axis — gathers serialize on TPU) without
+    # materializing the (12, h, w) candidate stack
+    pi0 = pip = pim = None
+    for di, (ack, a, b, bck) in enumerate(EDGE_DIRECTIONS):
+        eva = _sh(EW_a, 0, a[0])
+        evb = _sh(EW_b, 0, b[0])
+        val = _tdiv(eva * 2 + evb, 3)
+        if pi0 is None:
+            pi0 = pip = pim = val
+        else:
+            pi0 = jnp.where(idx0 == di, val, pi0)
+            pip = jnp.where(idxp == di, val, pip)
+            pim = jnp.where(idxm == di, val, pim)
+    return _tdiv(2 * pi0 + pip + pim, 4)
+
+
 def amaze_edge_interpolate(
     raw,
     ev,
@@ -130,47 +210,7 @@ def amaze_edge_interpolate(
     # restricted pixels use only the vertical direction d0 (hdr.c:1105-1133)
     restricted = jnp.where(rb2, raw < white_darkened, fc > FULLRES_THR)
 
-    # the four row classes used by the direction table: y + {2s, s, -2s, -3s}
-    T = {
-        2: _srow_shift(evgray, s, 2, 0),
-        1: _srow_shift(evgray, s, 1, 0),
-        -2: _srow_shift(evgray, -s, 2, 0),
-        -3: _srow_shift(evgray, -s, 3, 0),
-    }
-
-    def box11(d):
-        # sum_{j=-5..5} d(x+j) by shift-doubling partial sums: 8 elementwise
-        # passes instead of cumsum's ~13 (log-prefix passes + 2 taps); exact
-        # integer adds. S_k(x) = sum_{j=0..k-1} d(x+j).
-        s2 = d + _sh(d, 0, 1)
-        s4 = s2 + _sh(s2, 0, 2)
-        s8 = s4 + _sh(s4, 0, 4)
-        return _sh(s8, 0, -SEARCH_AREA) + _sh(s2, 0, 3) + _sh(d, 0, SEARCH_AREA)
-
-    # running argmin over directions — never materializes the (12, h, w)
-    # score stack, letting XLA fuse each direction's taps into the compare
-    best = None
-    d_best = None
-    for di, (ack, a, b, bck) in enumerate(EDGE_DIRECTIONS):
-        p1 = _sh(T[ack[1]], 0, ack[0])
-        p2 = _sh(T[a[1]], 0, a[0])
-        p3 = _sh(T[b[1]], 0, b[0])
-        p4 = _sh(T[bck[1]], 0, bck[0])
-        d = jnp.abs(p1 - p2) + jnp.abs(p2 - p3) + jnp.abs(p3 - p4)
-        score = box11(d) + abs(di - D0) * EV_RESOLUTION // 8
-        if best is None:
-            best, d_best = score, jnp.zeros_like(score)
-        else:
-            take = score < best  # argmin keeps the first minimum
-            best = jnp.where(take, score, best)
-            d_best = jnp.where(take, di, d_best)
-    d_best = d_best.astype(jnp.int32)
-    d_best = jnp.where(restricted, D0, d_best)
-    # edge_direction defaults to d0 outside the scored window (hdr.c:1065-1069)
-    window = (yy >= 5) & (yy < h - 5) & (xx >= 5) & (xx < w - 5)
-    d_best = jnp.where(window, d_best, D0)
-
-    # ---- edge-directed interpolation (hdr.c:1182-1210) --------------------
+    # ---- edge-directed interpolation taps (hdr.c:1182-1210) ---------------
     # plane of each pixel = its Bayer color; the EV transform commutes with
     # column shifts, so select + row-shift + EV once per row class, then each
     # direction is two lane shifts and an integer mean
@@ -188,25 +228,13 @@ def amaze_edge_interpolate(
     EW_a = ev_class(1)    # 'a' taps are always at y + s
     EW_b = ev_class(-2)   # 'b' taps are always at y - 2s
 
-    nd = len(EDGE_DIRECTIONS)
-    idx0 = d_best
-    idxp = jnp.minimum(d_best + 1, nd - 1)
-    idxm = jnp.maximum(d_best - 1, 0)
-    # accumulate the three per-pixel selections in one pass over directions
-    # (select chain, not take_along_axis — gathers serialize on TPU) without
-    # materializing the (12, h, w) candidate stack
-    pi0 = pip = pim = None
-    for di, (ack, a, b, bck) in enumerate(EDGE_DIRECTIONS):
-        eva = _sh(EW_a, 0, a[0])
-        evb = _sh(EW_b, 0, b[0])
-        val = _tdiv(eva * 2 + evb, 3)
-        if pi0 is None:
-            pi0 = pip = pim = val
-        else:
-            pi0 = jnp.where(idx0 == di, val, pi0)
-            pip = jnp.where(idxp == di, val, pip)
-            pim = jnp.where(idxm == di, val, pim)
-    interp_val = ev2raw_at(_tdiv(2 * pi0 + pip + pim, 4))
+    if _use_edge_pallas():
+        from .amaze_edge_pallas import edge_pick
+
+        interp_ev = edge_pick(evgray, EW_a, EW_b, s, restricted, h, w)
+    else:
+        interp_ev = edge_pick_xla(evgray, EW_a, EW_b, s, restricted, h, w)
+    interp_val = ev2raw_at(interp_ev)
 
     region = (yy >= 2) & (yy <= h - 3) & (xx >= 2) & (xx <= w - 3)
     interp = jnp.where(region, interp_val, 0)

@@ -179,6 +179,17 @@ _ALIAS_BLUR_GROUPS = [
 ]
 
 
+def _use_alias_pallas() -> bool:
+    import os
+
+    mode = os.environ.get("MLVFS_TPU_ALIAS_PALLAS", "auto")
+    if mode == "0":
+        return False
+    if mode == "1":
+        return True
+    return jax.default_backend() == "tpu"
+
+
 def _build_alias_map(fullres_smooth, halfres_smooth, bright, frcurve_of, ev_of, h, w):
     """Aliasing-likelihood map (build_alias_map, hdr.c:1382-1486)."""
     skip = frcurve_of(bright) > FULLRES_THR
@@ -190,7 +201,15 @@ def _build_alias_map(fullres_smooth, halfres_smooth, bright, frcurve_of, ev_of, 
     e_log = jnp.abs(fe - he)
     alias = jnp.minimum(jnp.minimum(e_lin // 2, e_log // 16), 65530)
     alias = jnp.where(skip, 0, alias).astype(jnp.int32)
+    if _use_alias_pallas():
+        from .alias_pallas import alias_filter
 
+        return alias_filter(alias, skip, h, w)
+    return _alias_filter_xla(alias, skip, h, w)
+
+
+def _alias_filter_xla(alias, skip, h, w):
+    """XLA form of the filter chain (CPU path / Pallas equivalence anchor)."""
     ys = jnp.arange(h)[:, None]
     xs = jnp.arange(w)[None, :]
     inner = (ys >= 6) & (ys < h - 6) & (xs >= 6) & (xs < w - 6)

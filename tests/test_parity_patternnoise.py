@@ -54,3 +54,20 @@ def test_blur_pallas_matches_xla():
     got = edge_aware_blur_pallas(*chans, interpret=True)
     for g, w_ in zip(got, want):
         np.testing.assert_array_equal(np.asarray(g), np.asarray(w_))
+
+
+def test_blur_pallas_wide_frame():
+    """2.5K-width channels (1296 half-res) exercise the block VMEM sizing."""
+    from mlvfs_tpu.ops.patternnoise import _edge_aware_blur
+    from mlvfs_tpu.ops.patternnoise_pallas import edge_aware_blur_pallas
+
+    rng = np.random.default_rng(5)
+    h2, w2 = 16, 1296
+    chans = [
+        jnp.asarray(rng.integers(0, 16000, (h2, w2), dtype=np.int32))
+        for _ in range(4)
+    ]
+    want = _edge_aware_blur(*chans)
+    got = edge_aware_blur_pallas(*chans, interpret=True)
+    for g, w_ in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w_))
