@@ -330,35 +330,37 @@ def _cache_token() -> str:
 
 
 def _run_core_checks() -> None:
-    """Raise AssertionError on the first core that disagrees with f64."""
+    """Raise AssertionError on the first core that disagrees with f64.
+
+    Wrapped in ensure_compile_time_eval: self_check() may legitimately be
+    consulted while a caller's jit is TRACING (e.g. chroma smoothing inside
+    a fused pipeline program) — without it the check's own device calls
+    would be inlined into the ambient trace as tracers and the comparison
+    could not run (observed: silent fallback to the LUT gathers inside
+    fused programs)."""
     evr = EV_RESOLUTION
-    s = np.arange(1, 1 << 16, dtype=np.int64)
-    want = np.trunc(np.log2(s.astype(np.float64)) * evr).astype(np.int32)
-    got = np.asarray(
-        jax.jit(lambda v: _ds_floor(*_log2_times_evr(v)))(jnp.asarray(s, jnp.int32))
-    )
-    assert np.array_equal(got, want), "floor(EVR*log2) core mismatch"
+    with jax.ensure_compile_time_eval():
+        s = np.arange(1, 1 << 16, dtype=np.int64)
+        want = np.trunc(np.log2(s.astype(np.float64)) * evr).astype(np.int32)
+        got = np.asarray(_ds_floor(*_log2_times_evr(jnp.asarray(s, jnp.int32))))
+        assert np.array_equal(got, want), "floor(EVR*log2) core mismatch"
 
-    e = np.arange(14 * evr, dtype=np.int64)
-    want = np.trunc(np.power(2.0, e / evr)).astype(np.int32)
-    got = np.asarray(jax.jit(ev2raw16_pos)(jnp.asarray(e, jnp.int32)))
-    assert np.array_equal(got, want), "trunc(exp2) core mismatch"
+        e = np.arange(14 * evr, dtype=np.int64)
+        want = np.trunc(np.power(2.0, e / evr)).astype(np.int32)
+        got = np.asarray(ev2raw16_pos(jnp.asarray(e, jnp.int32)))
+        assert np.array_equal(got, want), "trunc(exp2) core mismatch"
 
-    n = np.arange(64, 64 + (1 << 20), dtype=np.int64)
-    want = np.round(np.log2(n / 64.0) * evr).astype(np.int32)
-
-    def _core20(v):
-        zh, zl = _log2_times_evr(v)
+        n = np.arange(64, 64 + (1 << 20), dtype=np.int64)
+        want = np.round(np.log2(n / 64.0) * evr).astype(np.int32)
+        zh, zl = _log2_times_evr(jnp.asarray(n, jnp.int32))
         # the -6*EVR shift is exact: 6*EVR has trailing zeros past ulp(zh)
-        return _ds_round_half_away(zh - jnp.float32(6 * evr), zl)
+        got = np.asarray(_ds_round_half_away(zh - jnp.float32(6 * evr), zl))
+        assert np.array_equal(got, want), "round(EVR*log2) core mismatch"
 
-    got = np.asarray(jax.jit(_core20)(jnp.asarray(n, jnp.int32)))
-    assert np.array_equal(got, want), "round(EVR*log2) core mismatch"
-
-    j = np.arange(14 * evr, dtype=np.int64)
-    want = np.round(64 * np.power(2.0, j / evr)).astype(np.int32)
-    got = np.asarray(jax.jit(_round64_exp2)(jnp.asarray(j, jnp.int32)))
-    assert np.array_equal(got, want), "round(64*exp2) core mismatch"
+        j = np.arange(14 * evr, dtype=np.int64)
+        want = np.round(64 * np.power(2.0, j / evr)).astype(np.int32)
+        got = np.asarray(_round64_exp2(jnp.asarray(j, jnp.int32)))
+        assert np.array_equal(got, want), "round(64*exp2) core mismatch"
 
 
 @functools.lru_cache(maxsize=None)

@@ -67,3 +67,25 @@ def test_luts20_exhaustive(black20, white20):
     )
     want2 = np.asarray(ev2raw_lut20(black20, white20))
     np.testing.assert_array_equal(got2, want2)
+
+
+def test_self_check_inside_trace():
+    """self_check must succeed while a caller's jit is tracing (fused
+    pipeline programs call chroma smoothing under jit) — regression for the
+    silent LUT fallback observed in the fused bench."""
+    import os
+    import warnings as _w
+
+    evarith.self_check.cache_clear()
+    os.environ["MLVFS_TPU_EVARITH"] = "nocache"
+    try:
+        from mlvfs_tpu.ops.chroma_smooth import chroma_smooth_batch
+
+        imgs = jnp.zeros((1, 16, 32), jnp.uint16)
+        with _w.catch_warnings():
+            _w.simplefilter("error")  # the fallback warns — make that fatal
+            jax.jit(lambda x: chroma_smooth_batch(x, 3, 2048))(imgs)
+        assert evarith.self_check() is True
+    finally:
+        os.environ.pop("MLVFS_TPU_EVARITH", None)
+        evarith.self_check.cache_clear()
