@@ -104,7 +104,7 @@ def main():
                 return (imgs.astype(jnp.uint32) + c).sum(dtype=jnp.uint32) + med.sum().astype(jnp.uint32)
 
             runf = jax.jit(fused)
-            pb = min(batch, 8)
+            pb = batch
             devp = jax.device_put(np.ascontiguousarray(words[:pb]))
             int(runf(devp, gains, jnp.uint32(0)))
             nb = max(10, n_batches // 4)

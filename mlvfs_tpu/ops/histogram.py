@@ -41,18 +41,31 @@ def deflicker_median(img: jnp.ndarray, white: int) -> jnp.ndarray:
     """
     import math
 
-    flat = img.reshape(-1)
-    hw = flat.shape[0]
-    odd = flat[1::2]  # indices 1, 3, 5, ...
+    import jax
+
+    hw = img.size
     s = (2 * hw - 1) // 2  # hist_add 'size' argument
     n_added = (s + 1) // 2
-    v = jnp.minimum(odd[:n_added].astype(jnp.int32), white)
+    if img.ndim == 2 and img.shape[1] % 2 == 0 and n_added == hw // 2:
+        # even-width frames: the odd-indexed flat elements are exactly the
+        # odd columns — count through a parity mask instead of a strided
+        # odd-index extract (the (hw/2,)-strided relayout was ~90% of the
+        # op's device time; the mask reads 2x the data but stays in layout)
+        x_odd = (jax.lax.broadcasted_iota(jnp.int32, img.shape, 1) & 1) == 1
+        v = jnp.minimum(img.astype(jnp.int32), white)
+        def count(mid):
+            return jnp.sum(jnp.where(x_odd & (v <= mid), 1, 0))
+    else:
+        odd = img.reshape(-1)[1::2]
+        v = jnp.minimum(odd[:n_added].astype(jnp.int32), white)
+        def count(mid):
+            return jnp.sum(jnp.where(v <= mid, 1, 0))
     middle = jnp.asarray((s // 2) // 2, jnp.int32)  # hist->count // 2
     lo = jnp.zeros((), jnp.int32)
     hi = jnp.full((), white, jnp.int32)
     for _ in range(int(math.ceil(math.log2(white + 1)))):
         mid = (lo + hi) >> 1
-        cnt = jnp.sum(jnp.where(v <= mid, 1, 0))
+        cnt = count(mid)
         take = cnt > middle
         hi = jnp.where(take, mid, hi)
         lo = jnp.where(take, lo, mid + 1)
