@@ -27,6 +27,22 @@ struct BitReader {
     BitReader(const uint8_t* data, size_t len) : p(data), end(data + len) {}
 
     inline void fill() {
+        // fast path: pull up to 8 stuffing-free bytes in one load. Partial
+        // low bits of the last byte may be OR'd below the valid region; they
+        // are the byte's true contents at their natural positions, so later
+        // refills OR the same values — idempotent by construction.
+        if (nbits <= 56 && p + 8 <= end) {
+            uint64_t v;
+            memcpy(&v, p, 8);
+            if (!((v - 0x0101010101010101ULL) & ~v & 0x8080808080808080ULL)) {
+                v = __builtin_bswap64(v);
+                bits |= v >> nbits;
+                int k = (64 - nbits) >> 3;
+                p += k;
+                nbits += 8 * k;
+                return;
+            }
+        }
         while (nbits <= 56) {
             if (p >= end) {
                 // feed zeros past the end; decode loop bounds stop us
@@ -96,6 +112,30 @@ struct Huff {
         br.skip(e >> 8);
         return e & 0xFF;
     }
+
+    // code + extra bits + EXTEND in one refill: worst case consumes
+    // 16 (code) + 16 (extra) = 32 <= the 57+ bits fill() guarantees.
+    inline bool decode_with_diff(BitReader& br, int& diff) const {
+        br.fill();
+        uint16_t e = lut[(uint32_t)(br.bits >> 48)];
+        if (e == 0xFFFF) return false;
+        int len = e >> 8;
+        int t = e & 0xFF;
+        br.bits <<= len;
+        br.nbits -= len;
+        if (t == 0) {
+            diff = 0;
+        } else if (t == 16) {
+            diff = 32768;
+        } else {
+            int x = (int)(uint32_t)(br.bits >> (64 - t));
+            br.bits <<= t;
+            br.nbits -= t;
+            if (x < (1 << (t - 1))) x -= (1 << t) - 1;
+            diff = x;
+        }
+        return true;
+    }
 };
 
 inline int extend(uint32_t v, int t) {
@@ -110,6 +150,100 @@ inline int extend(uint32_t v, int t) {
 }
 
 inline uint16_t be16(const uint8_t* p) { return (uint16_t)((p[0] << 8) | p[1]); }
+
+// Per-sample decode against a raw LUT pointer (the Huff/vector indirection
+// per sample measurably slowed the hot loop).
+static inline bool decode_lut(const uint16_t* lut, BitReader& br, int& diff) {
+    if (br.nbits < 32) br.fill();  // one sample consumes at most 32 bits
+    uint16_t e = lut[(uint32_t)(br.bits >> 48)];
+    if (e == 0xFFFF) return false;
+    int len = e >> 8;
+    int t = e & 0xFF;
+    br.bits <<= len;
+    br.nbits -= len;
+    if (t == 0) {
+        diff = 0;
+    } else if (t == 16) {
+        diff = 32768;
+    } else {
+        int x = (int)(uint32_t)(br.bits >> (64 - t));
+        br.bits <<= t;
+        br.nbits -= t;
+        if (x < (1 << (t - 1))) x -= (1 << t) - 1;
+        diff = x;
+    }
+    return true;
+}
+
+// Hot scan loop, specialized per predictor and component count with the
+// first row / first column peeled out — the per-sample branches, the
+// predictor switch, and the Huff table indirection were a third of decode
+// time when inside the inner loop. NC == 0 is the runtime-ncomp fallback.
+template <int PRED, int NC>
+static int decode_scan(BitReader& br, const Huff* huff, const int* comp_table,
+                       int w, int h, int ncomp_rt, int defaultval, uint16_t* out) {
+    const int ncomp = NC ? NC : ncomp_rt;
+    const uint16_t* luts[4];
+    for (int c = 0; c < ncomp; c++) luts[c] = huff[comp_table[c]].lut.data();
+    int rowlen = w * ncomp;
+    std::vector<int> prevrow(rowlen), currow(rowlen);
+    for (int y = 0; y < h; y++) {
+        uint16_t* orow = out + (size_t)y * rowlen;
+        // x == 0: default value (first row) or the pixel above
+        for (int c = 0; c < ncomp; c++) {
+            int diff;
+            if (!decode_lut(luts[c], br, diff)) return -7;
+            int px = (y == 0) ? defaultval : prevrow[c];
+            int val = (px + diff) & 0xFFFF;
+            currow[c] = val;
+            orow[c] = (uint16_t)val;
+        }
+        if (y == 0) {
+            for (int x = 1; x < w; x++)
+                for (int c = 0; c < ncomp; c++) {
+                    int diff;
+                    if (!decode_lut(luts[c], br, diff)) return -7;
+                    int i = x * ncomp + c;
+                    int val = (currow[i - ncomp] + diff) & 0xFFFF;  // left
+                    currow[i] = val;
+                    orow[i] = (uint16_t)val;
+                }
+        } else {
+            const int* pr = prevrow.data();
+            int* cr = currow.data();
+            for (int x = 1; x < w; x++)
+                for (int c = 0; c < ncomp; c++) {
+                    int diff;
+                    if (!decode_lut(luts[c], br, diff)) return -7;
+                    int i = x * ncomp + c;
+                    int px;
+                    if (PRED == 0) px = 0;
+                    else if (PRED == 1) px = cr[i - ncomp];
+                    else if (PRED == 2) px = pr[i];
+                    else if (PRED == 3) px = pr[i - ncomp];
+                    else if (PRED == 4) px = cr[i - ncomp] + pr[i] - pr[i - ncomp];
+                    else if (PRED == 5) px = cr[i - ncomp] + ((pr[i] - pr[i - ncomp]) >> 1);
+                    else if (PRED == 6) px = pr[i] + ((cr[i - ncomp] - pr[i - ncomp]) >> 1);
+                    else px = (cr[i - ncomp] + pr[i]) >> 1;
+                    int val = (px + diff) & 0xFFFF;
+                    cr[i] = val;
+                    orow[i] = (uint16_t)val;
+                }
+        }
+        std::swap(prevrow, currow);
+    }
+    return 0;
+}
+
+template <int PRED>
+static int decode_scan_nc(BitReader& br, const Huff* huff, const int* comp_table,
+                          int w, int h, int ncomp, int defaultval, uint16_t* out) {
+    if (ncomp == 1)
+        return decode_scan<PRED, 1>(br, huff, comp_table, w, h, ncomp, defaultval, out);
+    if (ncomp == 2)
+        return decode_scan<PRED, 2>(br, huff, comp_table, w, h, ncomp, defaultval, out);
+    return decode_scan<PRED, 0>(br, huff, comp_table, w, h, ncomp, defaultval, out);
+}
 
 }  // namespace
 
@@ -187,50 +321,18 @@ int lj92_decode_buf(const uint8_t* data, size_t len, uint16_t* out, size_t out_c
     dims[3] = ncomp;
 
     BitReader br(data + scan_data, len - scan_data);
-    int rowlen = w * ncomp;
-    std::vector<int> prevrow(rowlen), currow(rowlen);
     int defaultval = 1 << (bits - 1);
-
-    for (int y = 0; y < h; y++) {
-        for (int x = 0; x < w; x++) {
-            for (int c = 0; c < ncomp; c++) {
-                int t = huff[comp_table[c]].decode(br);
-                if (t < 0) return -7;
-                uint32_t extra = t && t != 16 ? br.peek(t) : 0;
-                if (t && t != 16) br.skip(t);
-                int diff = extend(extra, t);
-                int px;
-                int i = x * ncomp + c;
-                if (y == 0 && x == 0)
-                    px = defaultval;
-                else if (y == 0)
-                    px = currow[i - ncomp];  // first row: left
-                else if (x == 0)
-                    px = prevrow[i];  // first column: above
-                else {
-                    int left = currow[i - ncomp];
-                    int above = prevrow[i];
-                    int aleft = prevrow[i - ncomp];
-                    switch (pred) {
-                        case 0: px = 0; break;
-                        case 1: px = left; break;
-                        case 2: px = above; break;
-                        case 3: px = aleft; break;
-                        case 4: px = left + above - aleft; break;
-                        case 5: px = left + ((above - aleft) >> 1); break;
-                        case 6: px = above + ((left - aleft) >> 1); break;
-                        case 7: px = (left + above) >> 1; break;
-                        default: return -8;
-                    }
-                }
-                int val = (px + diff) & 0xFFFF;
-                currow[i] = val;
-                out[(size_t)y * rowlen + i] = (uint16_t)val;
-            }
-        }
-        std::swap(prevrow, currow);
+    switch (pred) {  // predictor/ncomp-specialized hot loops (decode_scan)
+        case 0: return decode_scan_nc<0>(br, huff, comp_table, w, h, ncomp, defaultval, out);
+        case 1: return decode_scan_nc<1>(br, huff, comp_table, w, h, ncomp, defaultval, out);
+        case 2: return decode_scan_nc<2>(br, huff, comp_table, w, h, ncomp, defaultval, out);
+        case 3: return decode_scan_nc<3>(br, huff, comp_table, w, h, ncomp, defaultval, out);
+        case 4: return decode_scan_nc<4>(br, huff, comp_table, w, h, ncomp, defaultval, out);
+        case 5: return decode_scan_nc<5>(br, huff, comp_table, w, h, ncomp, defaultval, out);
+        case 6: return decode_scan_nc<6>(br, huff, comp_table, w, h, ncomp, defaultval, out);
+        case 7: return decode_scan_nc<7>(br, huff, comp_table, w, h, ncomp, defaultval, out);
+        default: return -8;
     }
-    return 0;
 }
 
 // Batch decode: n independent LJ92 streams → one (n, frame_samples) u16

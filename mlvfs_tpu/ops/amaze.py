@@ -13,9 +13,12 @@ The reference's highest-quality path (amaze_interpolate, hdr.c:954-1229):
      demosaiced planes, averaged over dir-1/dir/dir+1.
 
 TPU mapping: the squeeze is a row permutation (gather); the 12x11x4-tap
-scorer unrolls into static shifted adds over the EV-mapped grayscale; the
-direction-dependent interpolation computes all 12 candidates and selects
-with take_along_axis. The AMaZE core itself lives in amaze_core.py.
+scorer unrolls into static shifted adds over the EV-mapped grayscale with a
+running argmin (no (12,h,w) stack), and the direction-dependent
+interpolation accumulates the picked/neighbor candidates through a select
+chain. On TPU both run as one VMEM-resident Pallas kernel per row chunk
+(ops/amaze_edge_pallas.py, gated bit-identical to edge_pick_xla); the
+AMaZE core itself lives in amaze_core.py / amaze_pallas.py.
 """
 
 from __future__ import annotations
