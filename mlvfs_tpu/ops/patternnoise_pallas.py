@@ -33,7 +33,9 @@ _STRENGTH = 25
 _THR = 500
 _SENTINEL = 1 << 30
 _BIG = 10**9
-R_SUB = 8  # rows per block (second-minor dim must be 8-divisible)
+R_SUB = 32  # rows per block (second-minor dim must be 8-divisible); larger
+#             blocks amortize grid-step overhead — peak VMEM is the window
+#             stack plus one value stack (~13 MB at 2.5K width)
 
 
 def _wirth_k(num):
