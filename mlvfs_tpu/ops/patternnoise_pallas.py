@@ -50,14 +50,18 @@ def _roll_lanes(a, dx):
     return pltpu.roll(a, (-dx) % n, axis=a.ndim - 1)
 
 
-def _bisect(stack, win, k, lo: int, hi: int, iters: int):
-    """Smallest v with count(valid & stack<=v) >= k+1 — exact masked median."""
+def _bisect(stack, k, lo: int, hi: int, iters: int):
+    """Smallest v with count(stack<=v) >= k+1 over the masked stack — exact.
+
+    The stack arrives with invalid entries pre-set to a sentinel above
+    ``hi`` (folding the window mask in once removes a third of the ops in
+    every bisection pass)."""
     shape = k.shape
     lov = jnp.full(shape, lo, jnp.int32)
     hiv = jnp.full(shape, hi, jnp.int32)
     for _ in range(iters):
         mid = (lov + hiv) >> 1
-        cnt = jnp.sum(jnp.where(win & (stack <= mid[None]), 1, 0), axis=0)
+        cnt = jnp.sum((stack <= mid[None]).astype(jnp.int32), axis=0)
         take = cnt >= k + 1
         hiv = jnp.where(take, mid, hiv)
         lov = jnp.where(take, lov, mid + 1)
@@ -99,8 +103,13 @@ def _blur_kernel(r_ref, g1_ref, g2_ref, b_ref, rs_ref, g1s_ref, g2s_ref, bs_ref,
     k = jnp.clip(_wirth_k(num), 0, len(offs) - 1)
 
     def med(chan, lo, hi, iters):
-        stack = jnp.stack([shifted(chan, d, _SENTINEL) for d in offs])
-        return _bisect(stack, win_stack, k, lo, hi, iters)
+        stack = jnp.stack(
+            [
+                jnp.where(win[d], shifted(chan, d, _SENTINEL), _SENTINEL)
+                for d in offs
+            ]
+        )
+        return _bisect(stack, k, lo, hi, iters)
 
     # value domains: g channels are int16 pixels, rg/bg are pixel-minus-avg
     # diffs; bounds only need to contain the domain for the median to be exact
