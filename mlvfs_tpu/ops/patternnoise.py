@@ -173,9 +173,23 @@ def _fix_column_noise_rggb(raw, white):
 
 def fix_pattern_noise_image(img: jnp.ndarray, white: int) -> jnp.ndarray:
     """Full pattern-noise fix on one frame (int16 semantics, uint16 storage)."""
+    h, w = img.shape
     raw = img.astype(jnp.int16).astype(jnp.int32)
-    raw = _fix_column_noise_rggb(raw, white)
-    raw = _fix_column_noise_rggb(raw.T, white).T
+    if _use_pallas() and h % 2 == 0 and w % 2 == 0:
+        # interleaved-grid path: the Pallas blur and the column offsets run
+        # on the Bayer frame directly — no channel deinterleave/reassembly
+        # (those strided relayouts were ~2.7 ms/frame); gated bit-identical
+        # to the split formulation
+        import os
+
+        from .patternnoise_fused import fix_pattern_noise_direction
+
+        interp = os.environ.get("MLVFS_TPU_PN_INTERPRET") == "1"
+        raw = fix_pattern_noise_direction(raw, white, interpret=interp)
+        raw = fix_pattern_noise_direction(raw.T, white, interpret=interp).T
+    else:
+        raw = _fix_column_noise_rggb(raw, white)
+        raw = _fix_column_noise_rggb(raw.T, white).T
     return raw.astype(jnp.uint16)
 
 
