@@ -176,16 +176,35 @@ def _cs_jit_arith(imgs, method, black):
     )(imgs)
 
 
+def _use_cs_pallas() -> bool:
+    import os
+
+    mode = os.environ.get("MLVFS_TPU_CS_PALLAS", "auto")
+    if mode == "0":
+        return False
+    if mode == "1":
+        return True
+    return jax.default_backend() == "tpu"
+
+
 def chroma_smooth_batch(imgs: jnp.ndarray, method: int, black: int) -> jnp.ndarray:
     """Batch (B, H, W) uint16 chroma smoothing (chroma_smooth, cs.c:49-84).
 
     Uses the gather-free arithmetic EV transforms (exhaustively verified
     bit-exact at first use; see ops/evarith.py) and falls back to the LUT
-    gathers if the live backend ever fails the self-check.
+    gathers if the live backend ever fails the self-check. On TPU the whole
+    op runs as a VMEM-resident Pallas kernel (ops/chroma_pallas.py, gated
+    bit-identical to the XLA form).
     """
     if method not in (2, 3, 5):
         raise ValueError(f"unsupported chroma smooth method {method}")
     if evarith.self_check():
+        if _use_cs_pallas():
+            from .chroma_pallas import chroma_smooth_pallas
+
+            return jax.vmap(
+                lambda im: chroma_smooth_pallas(im, method, int(black))
+            )(imgs)
         return _cs_jit_arith(imgs, method, int(black))
     lut, inv = _luts16(black)
     return _cs_jit(imgs, method, jnp.asarray(lut), jnp.asarray(inv), jnp.int32(black))

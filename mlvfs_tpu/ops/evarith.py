@@ -97,9 +97,11 @@ def _ds_mul(xh, xl, yh, yl):
 
 
 def _ds_from_const(v: float):
+    # np scalars, not jnp arrays: these are module-level constants that must
+    # stay embeddable inside Pallas kernels (captured jax Arrays are rejected)
     hi = np.float32(v)
     lo = np.float32(v - float(hi))
-    return jnp.float32(hi), jnp.float32(lo)
+    return hi, lo
 
 
 def _ds_div_ff(a, b):
@@ -124,7 +126,7 @@ def _ds_div_ff(a, b):
 
 # ---------------------------------------------------------------- log2 core
 
-_SQRT2_F32 = jnp.float32(1.4142135)  # compare threshold; either side is valid
+_SQRT2_F32 = np.float32(1.4142135)  # compare threshold; either side is valid
 _LOG2E_X2 = 2.0 / math.log(2.0)  # 2/ln2
 
 # atanh-series coefficients 1/(2k+1) as ds constants. |t| <= 0.1716 so the

@@ -125,3 +125,24 @@ def test_focus_pixel_fix_parity(tmp_path):
             )
         )[0]
         np.testing.assert_array_equal(ref_fixed, ours_fixed, err_msg=f"dual_iso={dual_iso}")
+
+
+@pytest.mark.parametrize("method", [2, 3, 5])
+def test_chroma_smooth_pallas_matches_xla(tmp_path, method):
+    """The VMEM-resident chroma kernel equals the XLA form (and hence the
+    reference C) bit for bit, including the INT_MIN black-pixel case."""
+    from mlvfs_tpu.ops.chroma_smooth import chroma_smooth_batch
+    from mlvfs_tpu.ops.chroma_pallas import chroma_smooth_pallas
+
+    clip, fh, spec, img = _clip_and_frame(tmp_path)
+    img = img.copy()
+    img[10:20, 10:40] = spec.black
+    want = np.asarray(
+        jax.jit(chroma_smooth_batch, static_argnums=(1, 2))(
+            jnp.asarray(img[None]), method, spec.black
+        )
+    )[0]
+    got = np.asarray(
+        chroma_smooth_pallas(jnp.asarray(img), method, spec.black, interpret=True)
+    )
+    np.testing.assert_array_equal(got, want)
