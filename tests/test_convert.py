@@ -266,6 +266,7 @@ def test_cli_flag_surface_parses():
         "--dual-iso", "--mean23", "--no-alias-map", "--no-fullres",
         "--fps=24", "--batch-size", "4", "--prefetch", "3",
         "--compress-dng", "--devices", "8", "--resume",
+        "--stripes-batch-cal",
     ]
     p_args = None
     # parse via the real parser but intercept the command function
@@ -289,6 +290,7 @@ def test_cli_flag_surface_parses():
     assert cfg.compress == "lj92"
     assert cfg.shard_devices == 8
     assert cfg.resume
+    assert cfg.stripes_batch_cal
 
 
 def test_cli_mount_and_serve_parse():
