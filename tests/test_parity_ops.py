@@ -146,3 +146,18 @@ def test_chroma_smooth_pallas_matches_xla(tmp_path, method):
         chroma_smooth_pallas(jnp.asarray(img), method, spec.black, interpret=True)
     )
     np.testing.assert_array_equal(got, want)
+
+
+def test_chroma_smooth_pallas_degenerate_sizes():
+    """Frames too small for any cell window pass through unchanged in both
+    forms."""
+    from mlvfs_tpu.ops.chroma_smooth import chroma_smooth_batch
+    from mlvfs_tpu.ops.chroma_pallas import chroma_smooth_pallas
+
+    rng = np.random.default_rng(2)
+    for h, w in ((8, 8), (8, 16), (16, 8)):
+        img = rng.integers(0, 16000, (h, w), dtype=np.uint16)
+        want = np.asarray(chroma_smooth_batch(jnp.asarray(img[None]), 3, 2048))[0]
+        got = np.asarray(chroma_smooth_pallas(jnp.asarray(img), 3, 2048, interpret=True))
+        np.testing.assert_array_equal(got, want)
+        np.testing.assert_array_equal(want, img)  # nothing writable

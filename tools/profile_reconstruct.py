@@ -14,7 +14,10 @@ from mlvfs_tpu.ops import dualiso_full as dif
 from mlvfs_tpu.ops import amaze_core as core
 from mlvfs_tpu.ops.luts import EV_RESOLUTION
 
-H, W, B = 960, 1280, 8
+import os as _os
+H = int(_os.environ.get("PR_H", "960"))
+W = int(_os.environ.get("PR_W", "1280"))
+B = int(_os.environ.get("PR_B", "8"))
 BLACK, WHITE14 = 2048, 15000
 
 spec = synth.SynthSpec(width=W, height=H, frames=1, dual_iso=3, seed=3)
