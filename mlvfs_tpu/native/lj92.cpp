@@ -34,7 +34,12 @@ struct BitReader {
         if (nbits <= 56 && p + 8 <= end) {
             uint64_t v;
             memcpy(&v, p, 8);
-            if (!((v - 0x0101010101010101ULL) & ~v & 0x8080808080808080ULL)) {
+            // no 0xFF byte anywhere in the window (0xFF in v == zero byte
+            // in ~v). Plain data 0x00 bytes are fine and stay on this path;
+            // any 0xFF defers to the byte loop so its stuffing 0x00 (which
+            // may sit beyond this window) is always consumed with it.
+            uint64_t inv = ~v;
+            if (!((inv - 0x0101010101010101ULL) & v & 0x8080808080808080ULL)) {
                 v = __builtin_bswap64(v);
                 bits |= v >> nbits;
                 int k = (64 - nbits) >> 3;

@@ -169,3 +169,47 @@ def test_encode_batch_matches_single(rng):
     for i in range(4):
         assert batch[i] == lj92.encode(imgs[i], ncomp=2, bits=16)
     assert lj92.encode_batch(imgs[:0], ncomp=2) == []
+
+
+def test_decode_ff_at_refill_boundary():
+    """Crafted stream whose first 8 entropy bytes contain no 0x00 but end in
+    a stuffed 0xFF: a bulk-refill fast path that only screens for zero bytes
+    consumes the 0xFF as data and then reads its stuffing 0x00 as data —
+    regression for exactly that. Compared against the reference decoder."""
+    import struct
+
+    w, h, bits = 16, 2, 16
+    # DHT: one symbol, SSSS=15, code '0' at length 1
+    dht = bytes([0x00]) + bytes([1] + [0] * 15) + bytes([15])
+    sof = bytes([bits]) + struct.pack(">HH", h, w) + bytes([1, 0, 0x11, 0])
+    sos = bytes([1, 0, 0x00, 0x01, 0x00, 0x00])
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    # samples: '0' + 15 extra bits each (SSSS=15). Choose the first four so
+    # the entropy bytes are 2A AA 2A AA 2A AA 05 FF (00) ... — no zero byte
+    # in the first window, 0xFF as its last byte.
+    vals = [0x2AAA, 0x2AAA, 0x2AAA, 0x02FF] + [0x2AAA] * (w * h - 4)
+    bitstr = "".join("0" + format(v, "015b") for v in vals)
+    by = bytearray()
+    for i in range(0, len(bitstr), 8):
+        chunk = bitstr[i : i + 8].ljust(8, "1")
+        b = int(chunk, 2)
+        by.append(b)
+        if b == 0xFF:
+            by.append(0x00)
+    stream = (
+        bytes([0xFF, 0xD8])
+        + seg(0xC4, dht)
+        + seg(0xC3, sof)
+        + seg(0xDA, sos)
+        + bytes(by)
+        + bytes([0xFF, 0xD9])
+    )
+    assert by[6] != 0 and by[7] == 0xFF and 0 not in by[:8]
+
+    ref_img, rw, rh, rbits = oracle.lj92_decode(stream)
+    out, rcs = lj92.decode_batch([stream], w * h)
+    assert rcs[0] == 0
+    np.testing.assert_array_equal(out.reshape(h, w), ref_img)
