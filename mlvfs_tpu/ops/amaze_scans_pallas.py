@@ -354,6 +354,10 @@ def _run_pass(kernel, x, interpret):
         grid=(Tp // T_SUB,),
         in_specs=[spec],
         out_specs=spec,
+        # the (160, 8, wpp) f32 in+out blocks exceed the default 16 MB
+        # scoped-vmem limit at 1920-wide frames (wpp=2048 → 40 MB): 1080p
+        # dual-ISO amaze-edge failed to compile on v5e without this
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=80 * 1024 * 1024),
         interpret=interpret,
     )(x)
 
