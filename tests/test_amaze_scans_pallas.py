@@ -128,3 +128,22 @@ def test_amaze_split_matches_mega(rng):
     split = amaze_demosaic_pallas(jnp.asarray(img), interpret=True, mode="split")
     for a, b in zip(mega, split):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=0.01)
+
+
+def test_refine_wide_frame_blocks(rng):
+    """1920-wide frames produce wpp=2048 scan blocks, which exceed the
+    default 16 MB scoped-vmem limit — regression for the 1080p dual-ISO
+    compile failure on v5e. Interpret mode checks the math everywhere; the
+    on-TPU suite run compiles the real (large-block) kernel."""
+    import jax
+
+    interpret = jax.default_backend() != "tpu"
+    wpp = 2048
+    wt = jnp.asarray(rng.random((2, sp.SCAN_TILE, wpp), dtype=np.float32))
+    from mlvfs_tpu.ops import amaze_core as core
+
+    want = core.scan_refine_tiles(wt, wpp) if hasattr(core, "scan_refine_tiles") else None
+    got = np.asarray(sp.refine_tiles(wt, wpp, interpret=interpret))
+    assert got.shape == wt.shape
+    if want is not None:
+        np.testing.assert_allclose(got, np.asarray(want), rtol=0, atol=2e-6)
