@@ -9,7 +9,9 @@ what lets the pipeline DMA packed bytes straight to the device.
 
 from __future__ import annotations
 
+import mmap as _mmap
 import os
+
 import numpy as np
 
 from . import mlv
@@ -52,12 +54,42 @@ def is_mlv_name(name: str) -> bool:
 class MLVClip:
     """One MLV clip (main file + spill chunks), indexed and memory-mapped."""
 
-    def __init__(self, path: str, use_sidecar: bool = True):
+    def __init__(self, path: str, use_sidecar: bool = True, populate: bool = False):
         self.path = path
         self.chunk_paths = discover_chunks(path)
-        self.chunks = [np.memmap(p, np.uint8, "r") for p in self.chunk_paths]
+        self.chunks = [self._map_chunk(p, populate) for p in self.chunk_paths]
         self.xref = get_index(path, self.chunks, use_sidecar=use_sidecar)
         self._scan_metadata()
+
+    @staticmethod
+    def _map_chunk(path: str, populate: bool) -> np.ndarray:
+        """Read-only byte map of one chunk file.
+
+        ``populate=True`` maps with MAP_POPULATE: the kernel prefaults the
+        whole mapping in one pass, so the per-batch payload copies run at
+        warm-memcpy speed instead of paying a minor fault per 4 KiB page
+        (~0.2 ms/frame at 1080p — measured against preadv and madvise
+        alternatives, which were both slower on this rig). Only batch
+        conversions that will read every frame anyway opt in; the mount's
+        demand paging keeps lazy mapping so opening a clip stays O(1) in
+        clip size.
+        """
+        if populate and hasattr(_mmap, "MAP_POPULATE"):
+            fd = os.open(path, os.O_RDONLY)
+            try:
+                size = os.fstat(fd).st_size
+                if size == 0:
+                    return np.empty(0, np.uint8)
+                m = _mmap.mmap(
+                    fd,
+                    size,
+                    flags=_mmap.MAP_SHARED | _mmap.MAP_POPULATE,
+                    prot=_mmap.PROT_READ,
+                )
+                return np.frombuffer(m, np.uint8)
+            finally:
+                os.close(fd)
+        return np.memmap(path, np.uint8, "r")
 
     # -- metadata -----------------------------------------------------------
 

@@ -324,7 +324,8 @@ def _cache_token() -> str:
     import hashlib
 
     dev = jax.devices()[0]
-    src = open(os.path.abspath(__file__), "rb").read()
+    with open(os.path.abspath(__file__), "rb") as f:
+        src = f.read()
     h = hashlib.sha256(src).hexdigest()[:16]
     return f"evarith-v{_CHECK_VERSION}-{jax.__version__}-{dev.platform}-{getattr(dev, 'device_kind', '?')}-{h}".replace(
         "/", "_"

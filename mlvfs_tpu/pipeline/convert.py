@@ -461,7 +461,14 @@ class ClipConverter:
 
 def convert_clip(mlv_path: str, outdir: str, config: ProcessingConfig = None, **kw):
     """One-shot conversion of a single clip."""
-    with MLVClip(mlv_path, use_sidecar=(config or ProcessingConfig()).use_sidecar_idx) as clip:
+    # populate=True: a full conversion reads every frame, so prefault the
+    # chunk mappings in one kernel pass (MAP_POPULATE) instead of a minor
+    # fault per page inside the gather copies
+    with MLVClip(
+        mlv_path,
+        use_sidecar=(config or ProcessingConfig()).use_sidecar_idx,
+        populate=True,
+    ) as clip:
         conv = ClipConverter(clip, config)
         try:
             return conv.convert(outdir, **kw)
