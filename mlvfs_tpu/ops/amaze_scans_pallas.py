@@ -43,6 +43,12 @@ T_SUB = 8
 WRAP = 8  # wrap-copy lanes each side (scans read |dx| <= 3; downstream
 #           stencil stages read scanned planes with |dx| up to 8)
 
+# Every scan kernel holds (SCAN_TILE, T_SUB, wpp) f32 in+out blocks in VMEM
+# — ~42 MB with double buffering at 1920-wide frames (wpp=2048), above the
+# 16 MB default scoped-vmem limit (1080p dual-ISO amaze-edge failed to
+# compile on v5e without this; ~56 MB kernels are known-fine on v5e).
+_SCAN_VMEM = pltpu.CompilerParams(vmem_limit_bytes=80 * 1024 * 1024)
+
 
 def _pad_tiles(x_tiles: jnp.ndarray):
     """(T, SCAN_TILE, wp) → (SCAN_TILE, Tp, wpp) with T padded to a T_SUB
@@ -160,6 +166,7 @@ def refine_pallas(wt: jnp.ndarray, hp: int, wp: int, interpret: bool = False):
         grid=(Tp // T_SUB,),
         in_specs=[spec],
         out_specs=spec,
+        compiler_params=_SCAN_VMEM,  # wpp=2048 blocks exceed the 16 MB default
         interpret=interpret,
     )(x)
     out = out.transpose(1, 0, 2)[:T0, :, :wp0]
@@ -238,6 +245,7 @@ def dilate_pallas(nyq: jnp.ndarray, hp: int, wp: int, interpret: bool = False):
         grid=(Tp // T_SUB,),
         in_specs=[spec],
         out_specs=spec,
+        compiler_params=_SCAN_VMEM,  # wpp=2048 blocks exceed the 16 MB default
         interpret=interpret,
     )(x)
     out = out.transpose(1, 0, 2)[:T0, :, :wp0].astype(nyq.dtype)
@@ -319,6 +327,7 @@ def _chroma_one(D, hp, wp, update_parity, interpret):
         grid=(Tp // T_SUB,),
         in_specs=[spec],
         out_specs=spec,
+        compiler_params=_SCAN_VMEM,  # wpp=2048 blocks exceed the 16 MB default
         interpret=interpret,
     )(x)
     return core._unchunk_rows(out.transpose(1, 0, 2)[:T0, :, :wp0], hp)
@@ -354,10 +363,7 @@ def _run_pass(kernel, x, interpret):
         grid=(Tp // T_SUB,),
         in_specs=[spec],
         out_specs=spec,
-        # the (160, 8, wpp) f32 in+out blocks exceed the default 16 MB
-        # scoped-vmem limit at 1920-wide frames (wpp=2048 → 40 MB): 1080p
-        # dual-ISO amaze-edge failed to compile on v5e without this
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=80 * 1024 * 1024),
+        compiler_params=_SCAN_VMEM,
         interpret=interpret,
     )(x)
 

@@ -22,6 +22,7 @@ the same exact median).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -34,6 +35,75 @@ _SENTINEL = 1 << 30
 _BIG = 10**9
 R_SUB = 32  # interleaved rows per block (must be even and 8-divisible)
 APRON = 2  # one cell of rows above/below for the cell-broadcast rolls
+
+
+def _batcher_pairs(n: int):
+    """Batcher odd-even mergesort compare-exchange pairs for n entries.
+
+    Generated for the next power of two, then filtered to pairs with both
+    indices < n. Every CE in this network is ascending (min to the lower
+    index), so virtual entries at indices >= n hold +sentinel forever —
+    a CE touching one is a provable no-op (min leaves the finite value in
+    place, max keeps the sentinel) and is dropped. (A bitonic network
+    could NOT be pruned this way: its descending half-blocks move
+    sentinels into low indices.)
+    """
+    p = 1
+    while p < n:
+        p *= 2
+    pairs = []
+
+    def ce(a, b):
+        if a < n and b < n:
+            pairs.append((a, b))
+
+    def merge(lo, length, r):
+        step = r * 2
+        if step < length:
+            merge(lo, length, step)
+            merge(lo + r, length, step)
+            for i in range(lo + r, lo + length - r, step):
+                ce(i, i + r)
+        else:
+            ce(lo, lo + r)
+
+    def sort(lo, length):
+        if length > 1:
+            m = length // 2
+            sort(lo, m)
+            sort(lo + m, m)
+            merge(lo, length, 1)
+
+    sort(0, p)
+    return pairs
+
+
+_SORT_PAIRS = _batcher_pairs(2 * _STRENGTH)
+
+
+def _median_sortnet(entries, k):
+    """Exact k-th smallest (0-indexed) of the masked window entries via a
+    bitonic sorting network + rank walk.
+
+    ``entries`` is a list of same-shape int32 arrays with invalid slots
+    pre-set to the +sentinel (so they sort to the top and never displace a
+    valid value below rank ``num``). Same result as the value-range
+    bisection — both are the exact order statistic — at roughly half the
+    vector-op count (~2 ops x ~450 CEs + 49 rank selects vs ~100 ops x 19
+    bisection passes)."""
+    s = list(entries)
+    for a, b in _SORT_PAIRS:
+        lo = jnp.minimum(s[a], s[b])
+        hi = jnp.maximum(s[a], s[b])
+        s[a], s[b] = lo, hi
+    acc = s[0]
+    for i in range(1, len(s)):
+        acc = jnp.where(k >= i, s[i], acc)
+    return acc
+
+
+def _use_sortnet() -> bool:
+    return os.environ.get("MLVFS_TPU_PN_MEDIAN", "sort") == "sort"
 
 
 def _wirth_k(num):

@@ -130,6 +130,36 @@ def test_amaze_split_matches_mega(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=0.01)
 
 
+def test_fullframe_scans_wide_blocks(rng):
+    """The full-array scan entry points (refine/dilate/chroma_pallas — the
+    ones amaze_core's _use_pallas_scans path calls) must also compile at
+    1920-wide block sizes: they each need the raised scoped-vmem limit, not
+    just the split-pipeline _run_pass (r3 regression: only _run_pass had
+    it, so 1080p reconstruct worked through the split pipeline but the
+    stage-level Pallas swaps OOMed VMEM at compile time on v5e)."""
+    import jax
+    import os
+
+    interpret = jax.default_backend() != "tpu"
+    hp, wp = 2 * sp.SCAN_TILE, 1920
+    wt = jnp.asarray(rng.random((hp, wp), np.float32))
+    os.environ["MLVFS_AMAZE_PALLAS"] = "0"
+    try:
+        ref = core._neighbor_refine_scan(wt, hp, wp)
+    finally:
+        del os.environ["MLVFS_AMAZE_PALLAS"]
+    got = sp.refine_pallas(wt, hp, wp, interpret=interpret)
+    np.testing.assert_allclose(
+        np.asarray(got)[: hp - 16], np.asarray(ref)[: hp - 16], rtol=0, atol=1e-6
+    )
+    # dilate + chroma: compile/run coverage at the wide block size
+    nyq = jnp.asarray((rng.random((hp, wp)) > 0.6).astype(np.int32))
+    assert sp.dilate_pallas(nyq, hp, wp, interpret=interpret).shape == (hp, wp)
+    D = jnp.asarray(rng.normal(0, 0.1, (hp, wp)).astype(np.float32))
+    out0, out1 = sp.chroma_pallas(D, D, hp, wp, interpret=interpret)
+    assert out0.shape == (hp, wp) and out1.shape == (hp, wp)
+
+
 def test_refine_wide_frame_blocks(rng):
     """1920-wide frames produce wpp=2048 scan blocks, which exceed the
     default 16 MB scoped-vmem limit — regression for the 1080p dual-ISO
