@@ -114,7 +114,11 @@ def _unpack_batch_pallas(words: jnp.ndarray, bpp: int, height: int, width: int) 
     relayout-free kernel using the fact that the word→pixel lane map has
     only 17 distinct shifts, as 18 rolls + masked selects (7.4 ms — vector
     ops over 128-lane registers lose the lane parallelism the wide planar
-    layout gives the current kernel). The planar transpose + fused-shift
+    layout gives the current kernel); (e) a 56-word/64-pixel superblock
+    layout giving the transpose a fat minor dim (8.0 ms); (f) bitcasting
+    word pairs to u32 to halve transposed elements (7.8 ms — the u16→u32
+    bitcast is itself a minor-dim relayout on TPU, ~6.5 ms standalone;
+    both in tools/profile_unpack9.py). The planar transpose + fused-shift
     kernel below remains the fastest known formulation.
     """
     import functools
