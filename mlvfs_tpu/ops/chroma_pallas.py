@@ -9,10 +9,11 @@ computes everything per pixel on the interleaved Bayer grid in VMEM:
     add/mul/div, so it runs inside the kernel) maps the chunk once;
   * each pixel's own-cell green mean and chroma diff Q come from parity
     cell-broadcast rolls (same trick as patternnoise_fused);
-  * the neighborhood median is a bitonic network over the K stride-2
-    rolled Q planes (K = 5/9/25), padded to a power of two with +INF —
-    the K//2-order statistic equals jnp.sort's, so results are
-    bit-identical to the XLA form (gated in tests/test_parity_ops.py);
+  * the neighborhood median is a Devillard median-selection network over
+    the K stride-2 rolled Q planes (K = 5/9/25, ops/medians.py) — the
+    K//2-order statistic equals jnp.sort's (proven exhaustively in
+    tests/test_medians.py), so results are bit-identical to the XLA form
+    (gated in tests/test_parity_ops.py);
   * the inverse EV transform runs once on the combined (ge + d) plane.
 
 Semantics preserved bit for bit: C truncating div-by-2, INT_MIN wrap at
@@ -23,6 +24,7 @@ dark-cell / negative-result skip rules (chroma_smooth.c:22-71).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -35,42 +37,20 @@ from .chroma_smooth import _offsets
 
 import numpy as np
 
-R_SUB = 32
+R_SUB = int(os.environ.get("MLVFS_TPU_CS_RSUB", "32"))
 APRON = 8  # neighbor reach 5 rows + cell rolls 1
-_INF = np.int32(2**31 - 1)  # np scalar: kernels cannot capture jax Arrays
-
-
-def _bitonic_pairs(n):
-    """Full ascending bitonic sorting network for n a power of two."""
-    pairs = []
-    k = 2
-    while k <= n:
-        j = k >> 1
-        while j >= 1:
-            for i in range(n):
-                l = i ^ j
-                if l > i:
-                    if (i & k) == 0:
-                        pairs.append((i, l))
-                    else:
-                        pairs.append((l, i))
-            j >>= 1
-        k <<= 1
-    return pairs
 
 
 def _median_k(planes, k_len):
     """k_len//2-order statistic of the k_len planes (value-identical to
-    jnp.sort(stack)[k_len//2])."""
-    n = 1
-    while n < k_len:
-        n <<= 1
-    vals = list(planes) + [jnp.full_like(planes[0], _INF)] * (n - k_len)
-    for (a, b) in _bitonic_pairs(n):
-        lo = jnp.minimum(vals[a], vals[b])
-        hi = jnp.maximum(vals[a], vals[b])
-        vals[a], vals[b] = lo, hi
-    return vals[k_len // 2]
+    jnp.sort(stack)[k_len//2]). Devillard median-selection networks —
+    7/19/99 compare-exchanges for K=5/9/25 versus the 24/80/240 of the
+    power-of-two-padded bitonic sort this replaced; proven exact by the
+    exhaustive 0-1 gate in tests/test_medians.py."""
+    from .medians import median_planes
+
+    assert len(planes) == k_len
+    return median_planes(planes)
 
 
 def _div2_trunc(t):

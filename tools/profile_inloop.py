@@ -1,0 +1,99 @@
+"""Dispatch-floor-free per-op device timing: K passes inside ONE jitted
+program via lax.fori_loop, each pass feeding the next (no hoisting), so
+the remote relay's per-dispatch latency (~1.4 ms on this rig — measured:
+an identity program at B=8 costs 6.9 ms/batch) divides by K instead of
+polluting every iteration. This is the honest device-throughput number:
+production hosts keep the dispatch queue deep enough that launch latency
+overlaps compute; this rig's relay serializes it.
+"""
+import os
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, "/root/repo")
+from mlvfs_tpu.format import synth
+from mlvfs_tpu.format.bits import pack_bits_np
+from mlvfs_tpu.ops.unpack import unpack_batch, words_for_pixels
+
+B = int(os.environ.get("PR_B", "8"))
+K = int(os.environ.get("PR_K", "10"))
+H, W, BPP = 1080, 1920, 14
+rng = np.random.default_rng(5)
+spec = synth.SynthSpec(width=W, height=H, frames=1, bpp=BPP)
+frame = synth.make_frame_data(spec, rng)
+imgs = jnp.asarray(np.broadcast_to(frame, (B, H, W)).copy())
+words1 = pack_bits_np(frame.ravel(), BPP)
+n_words = words_for_pixels(W * H, BPP)
+words = jax.device_put(np.ascontiguousarray(np.broadcast_to(words1[:n_words], (B, n_words))))
+print(f"devices: {jax.devices()}  B={B} K={K}", flush=True)
+
+
+def timeit_chain(name, body, x0, iters=4):
+    """body: x -> x (same shape/dtype). One jit with K in-program passes."""
+
+    @jax.jit
+    def run(x):
+        return jax.lax.fori_loop(0, K, lambda i, v: body(v), x)
+
+    r = run(x0)
+    jax.block_until_ready(r)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        r = run(r)
+    jax.block_until_ready(r)
+    dt = (time.perf_counter() - t0) / iters / K
+    print(f"{name:36s} {dt*1e3:8.3f} ms/batch = {dt/B*1e3:7.3f} ms/frame  ({B*1.0/dt:8.0f} f/s)", flush=True)
+
+
+def img_chain(f):
+    """Make a u16-image -> u16-image body out of op f."""
+    return lambda v: f(v).astype(jnp.uint16)
+
+
+timeit_chain("identity+1", lambda v: v + 1, imgs)
+
+# unpack: carry words; xor a data-dependent word back in to defeat hoisting
+def unpack_body(ws):
+    out = unpack_batch(ws, BPP, H, W)
+    tap = (out[:, :1, :1] & 1).astype(ws.dtype)
+    return ws ^ jnp.pad(tap.reshape(B, 1), ((0, 0), (0, ws.shape[1] - 1)))
+
+timeit_chain("unpack 14-bit", unpack_body, words)
+
+from mlvfs_tpu.ops.chroma_smooth import chroma_smooth_batch
+
+for m in (2, 3, 5):
+    timeit_chain(f"chroma cs{m}x{m}", img_chain(lambda v, m=m: chroma_smooth_batch(v, m, 2048)), imgs)
+
+from mlvfs_tpu.ops.stripes import apply_correction_batch
+
+gains = jax.device_put(np.full(8, 65537, np.int32))
+timeit_chain("stripes apply", img_chain(lambda v: apply_correction_batch(v, gains, 2048, 15000)), imgs)
+
+from mlvfs_tpu.ops import histogram as hist_ops
+
+def deflicker_body(v):
+    med = jax.vmap(lambda im: hist_ops.deflicker_median(im, (1 << BPP) + 1))(v)
+    return v + (med[:, None, None] & 1).astype(v.dtype)
+
+timeit_chain("deflicker median", deflicker_body, imgs)
+
+from mlvfs_tpu.ops import patternnoise as pn_ops
+
+timeit_chain("pattern noise", img_chain(lambda v: pn_ops.fix_pattern_noise_batch(v, 15000)), imgs)
+
+# the bench.py fused pipeline, chained on the words carry
+import __graft_entry__ as graft
+
+pfn = graft._pipeline_fn(bpp=BPP, h=H, w=W, chroma_method=3)
+
+def fused_body(ws):
+    out, med = pfn(ws, gains)
+    tap = ((out[:, :1, :1].astype(jnp.uint32) + med[:, :1].astype(jnp.uint32)) & 1).astype(ws.dtype)
+    return ws ^ jnp.pad(tap.reshape(B, 1), ((0, 0), (0, ws.shape[1] - 1)))
+
+timeit_chain("fused unpack+defl+cs3x3+stripes", fused_body, words)
