@@ -129,11 +129,16 @@ def _ds_div_ff(a, b):
 _SQRT2_F32 = np.float32(1.4142135)  # compare threshold; either side is valid
 _LOG2E_X2 = 2.0 / math.log(2.0)  # 2/ln2
 
-# atanh-series coefficients 1/(2k+1) as ds constants. |t| <= 0.1716 so the
-# t^17 tail is < 2e-14 of L; with ~2e-13 of accumulated ds rounding the
-# worst-case error in EVR*log2 is ~2e-8, vs a 1.17e-6 minimum boundary gap
-# (70x margin, and the exhaustive self-check is the actual gate).
-_ATANH_COEF = [1.0 / k for k in (15, 13, 11, 9, 7, 5, 3)]
+# atanh-series coefficients 1/(2k+1). |t| <= 0.1716 so the t^17 tail is
+# < 2e-14 of L. The t^7-and-up part of the series is evaluated in PLAIN f32
+# (_ATANH_TAIL_F32, innermost-first): its magnitude is <= t^7*P ~ 6.3e-7 of
+# S, so f32's ~3e-7 relative rounding contributes < 2e-13 absolute to S,
+# i.e. < 2e-8 EV-index units after the 2/ln2*EVR scale — 100x inside the
+# 2.5e-6 minimum boundary gap. Only the 1/3 and 1/5 terms (magnitude up to
+# 1.7e-3 of S) stay in double-single. The exhaustive self-check remains the
+# actual gate on every backend.
+_ATANH_TAIL_F32 = [np.float32(1.0 / k) for k in (15, 13, 11, 9, 7)]
+_ATANH_COEF_DS = [1.0 / 5, 1.0 / 3]
 
 
 def _log2_times_evr(n):
@@ -154,10 +159,13 @@ def _log2_times_evr(n):
     b = m + jnp.float32(1.0)  # exact (mantissa of m+1 fits 23 bits)
     th, tl = _ds_div_ff(a, b)
     t2h, t2l = _ds_mul(th, tl, th, tl)
-    ph, pl = _ds_from_const(_ATANH_COEF[0])
-    ph = jnp.broadcast_to(ph, th.shape)
-    pl = jnp.broadcast_to(pl, th.shape)
-    for c in _ATANH_COEF[1:]:
+    # t^7-and-up coefficient polynomial in plain f32 (see _ATANH_TAIL_F32)
+    u = t2h
+    pf = jnp.broadcast_to(_ATANH_TAIL_F32[0], th.shape)
+    for c in _ATANH_TAIL_F32[1:]:
+        pf = pf * u + c
+    ph, pl = pf, jnp.zeros_like(pf)
+    for c in _ATANH_COEF_DS:
         ph, pl = _ds_mul(ph, pl, t2h, t2l)
         ch, cl = _ds_from_const(c)
         ph, pl = _ds_add(ph, pl, ch, cl)
@@ -194,8 +202,13 @@ _QSTEP = [_ds_from_const(2.0 ** (j / 4.0)) for j in range(4)]
 _LN2 = math.log(2.0)
 # e^y Taylor 1/k! down to y^9/9! (y in [0, ln2/4): tail < 1e-14 relative;
 # total error ~4e-13 relative vs a 3.1e-12 minimum relative boundary gap
-# in the 20-bit ev2raw table — the tightest margin of the four transforms)
-_EXP_COEF = [1.0 / math.factorial(k) for k in range(9, -1, -1)]
+# in the 20-bit ev2raw table — the tightest margin of the four transforms).
+# The y^6..y^9 part is evaluated in PLAIN f32 (innermost-first): its
+# magnitude is <= y^6*P6 ~ 2.7e-5 of e^y, so f32's ~2e-7 relative rounding
+# contributes < 8e-15 relative — 390x inside the 3.1e-12 gap. Terms through
+# y^5/120 stay in double-single.
+_EXP_TAIL_F32 = [np.float32(1.0 / math.factorial(k)) for k in range(9, 5, -1)]
+_EXP_COEF_DS = [1.0 / math.factorial(k) for k in range(5, -1, -1)]
 
 
 def _exp2_frac_ds(x):
@@ -203,9 +216,12 @@ def _exp2_frac_ds(x):
     j = jnp.floor(x * jnp.float32(4.0))  # quarter index 0..3
     xr = x - j * jnp.float32(0.25)  # exact: both multiples of 2^-15
     yh, yl = _ds_mul(xr, jnp.zeros_like(xr), *_ds_from_const(_LN2))
-    ph = jnp.broadcast_to(jnp.float32(_EXP_COEF[0]), x.shape)
-    pl = jnp.zeros_like(ph)
-    for c in _EXP_COEF[1:]:
+    # y^6-and-up coefficient polynomial in plain f32 (see _EXP_TAIL_F32)
+    pf = jnp.broadcast_to(_EXP_TAIL_F32[0], x.shape)
+    for c in _EXP_TAIL_F32[1:]:
+        pf = pf * yh + c
+    ph, pl = pf, jnp.zeros_like(pf)
+    for c in _EXP_COEF_DS:
         ph, pl = _ds_mul(ph, pl, yh, yl)
         ch, cl = _ds_from_const(c)
         ph, pl = _ds_add(ph, pl, ch, cl)

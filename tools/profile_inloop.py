@@ -33,18 +33,26 @@ print(f"devices: {jax.devices()}  B={B} K={K}", flush=True)
 
 
 def timeit_chain(name, body, x0, iters=4):
-    """body: x -> x (same shape/dtype). One jit with K in-program passes."""
+    """body: x -> x (same shape/dtype). One jit with K in-program passes.
+
+    block_until_ready returns early through this rig's remote relay, so
+    the only trustworthy sync is a host transfer: fetch a 1-element
+    reduction once per timing loop (iters dispatches chain device-side)."""
 
     @jax.jit
     def run(x):
         return jax.lax.fori_loop(0, K, lambda i, v: body(v), x)
 
+    @jax.jit
+    def tiny(x):
+        return x.reshape(-1)[:8].astype(jnp.uint32).sum(dtype=jnp.uint32)
+
     r = run(x0)
-    jax.block_until_ready(r)
+    int(tiny(r))
     t0 = time.perf_counter()
     for _ in range(iters):
         r = run(r)
-    jax.block_until_ready(r)
+    int(tiny(r))
     dt = (time.perf_counter() - t0) / iters / K
     print(f"{name:36s} {dt*1e3:8.3f} ms/batch = {dt/B*1e3:7.3f} ms/frame  ({B*1.0/dt:8.0f} f/s)", flush=True)
 
@@ -93,7 +101,7 @@ pfn = graft._pipeline_fn(bpp=BPP, h=H, w=W, chroma_method=3)
 
 def fused_body(ws):
     out, med = pfn(ws, gains)
-    tap = ((out[:, :1, :1].astype(jnp.uint32) + med[:, :1].astype(jnp.uint32)) & 1).astype(ws.dtype)
+    tap = ((out[:, :1, :1].astype(jnp.uint32) + med[:, None, None].astype(jnp.uint32)) & 1).astype(ws.dtype)
     return ws ^ jnp.pad(tap.reshape(B, 1), ((0, 0), (0, ws.shape[1] - 1)))
 
 timeit_chain("fused unpack+defl+cs3x3+stripes", fused_body, words)
