@@ -174,21 +174,24 @@ def _kernel(y0_ref, img_ref, out_ref, *, h: int, w: int):
     num = jnp.sum(win_stack.astype(jnp.int32), axis=0)
     k = jnp.clip(_wirth_k(num), 0, len(offs) - 1)
 
-    stack = jnp.stack(
-        [
-            jnp.where(win[d], rollx(V, 2 * d, _SENTINEL), _SENTINEL)
-            for d in offs
-        ]
-    )
-    lov = jnp.full(a.shape, -(1 << 17), jnp.int32)
-    hiv = jnp.full(a.shape, 1 << 17, jnp.int32)
-    for _ in range(19):
-        mid = (lov + hiv) >> 1
-        cnt = jnp.sum((stack <= mid[None]).astype(jnp.int32), axis=0)
-        take = cnt >= k + 1
-        hiv = jnp.where(take, mid, hiv)
-        lov = jnp.where(take, lov, mid + 1)
-    med = lov  # per-pixel own-channel median (mg1/mg2 at g, mrg/mbg at r/b)
+    entries = [
+        jnp.where(win[d], rollx(V, 2 * d, _SENTINEL), _SENTINEL) for d in offs
+    ]
+    if _use_sortnet():
+        # exact k-th smallest via the pruned Batcher network + rank walk
+        # (~900 vector ops vs ~2000 for the 19-pass bisection below)
+        med = _median_sortnet(entries, k)
+    else:
+        stack = jnp.stack(entries)
+        lov = jnp.full(a.shape, -(1 << 17), jnp.int32)
+        hiv = jnp.full(a.shape, 1 << 17, jnp.int32)
+        for _ in range(19):
+            mid = (lov + hiv) >> 1
+            cnt = jnp.sum((stack <= mid[None]).astype(jnp.int32), axis=0)
+            take = cnt >= k + 1
+            hiv = jnp.where(take, mid, hiv)
+            lov = jnp.where(take, lov, mid + 1)
+        med = lov  # per-pixel own-channel median (mg1/mg2 at g, mrg/mbg at r/b)
 
     # mg = (mg1 + mg2) // 2 per cell, added back at r/b sites
     mg1 = cell_broadcast(med, 0, 1)
