@@ -94,6 +94,37 @@ from mlvfs_tpu.ops import patternnoise as pn_ops
 
 timeit_chain("pattern noise", img_chain(lambda v: pn_ops.fix_pattern_noise_batch(v, 15000)), imgs)
 
+# bad/focus pixel fix: a 1000-entry synthetic pixel list (typical .fpm scale)
+from mlvfs_tpu.ops import pixels as pixel_ops
+
+_pl_rng = np.random.default_rng(9)
+_plist = np.stack(
+    [_pl_rng.integers(8, W - 8, 1000), _pl_rng.integers(8, H - 8, 1000)], axis=1
+).astype(np.int64)
+
+timeit_chain(
+    "pixel-list fix (1000 px)",
+    img_chain(lambda v: pixel_ops.fix_pixel_list_batch(v, _plist, 2048, 0, 0, dual_iso=False)),
+    imgs,
+)
+
+# dual-ISO preview device legs (the host LS fit between them is ~free)
+from mlvfs_tpu.ops import dualiso as di_ops
+
+# (green_phase_histograms pulls its per-phase histograms to host for
+# the LS fit by design, so it cannot chain inside fori_loop)
+
+_pa = jnp.full(B, 0.125, jnp.float32)
+_pb = jnp.zeros(B, jnp.float32)
+_psh = jnp.zeros(B, jnp.float32)
+_pdrs = jnp.zeros(B, jnp.int32)
+
+timeit_chain(
+    "dualiso preview: apply",
+    img_chain(lambda v: di_ops.apply_preview(v, _pa, _pb, _psh, _pdrs, 2048, 15000) >> 2),
+    imgs,
+)
+
 # the bench.py fused pipeline, chained on the words carry
 import __graft_entry__ as graft
 
