@@ -43,7 +43,11 @@ def main():
     from mlvfs_tpu.ops.unpack import unpack_batch, words_for_pixels
 
     width, height, bpp = 1920, 1080, 14
-    batch = int(os.environ.get("BENCH_BATCH", "32"))
+    # batch 128 is the measured steady-state sweet spot on v5e-1: the
+    # per-dispatch latency of this rig's TPU relay amortizes away (32 ->
+    # 5.4k f/s, 64 -> 7.4k, 128 -> 10.0k, 256 -> 10.2k but the fused
+    # pipeline leg regresses); HBM working set at 128 is ~1.6 GB of 16
+    batch = int(os.environ.get("BENCH_BATCH", "128"))
     n_batches = int(os.environ.get("BENCH_BATCHES", "50"))
 
     rng = np.random.default_rng(7)
