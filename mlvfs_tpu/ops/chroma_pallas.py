@@ -38,6 +38,11 @@ from .chroma_smooth import _offsets
 import numpy as np
 
 R_SUB = int(os.environ.get("MLVFS_TPU_CS_RSUB", "32"))
+# default on: measured cs2x2 0.89 -> 0.50 ms/frame (Mosaic generates the
+# double-single EV chain ~2x slower inside the method-2 kernel than XLA
+# does frame-wide), cs3x3/cs5x5 unchanged (saved apron recompute offsets
+# the extra HBM stream)
+EV_PRECOMPUTE = os.environ.get("MLVFS_TPU_CS_EVPRE", "1") == "1"
 APRON = 8  # neighbor reach 5 rows + cell rolls 1
 
 
@@ -57,7 +62,11 @@ def _div2_trunc(t):
     return t // 2 + ((t & 1) != 0) * (t < 0)
 
 
-def _kernel(y0_ref, img_ref, out_ref, *, method: int, black: int, h: int, w: int):
+def _kernel(y0_ref, img_ref, *rest, method: int, black: int, h: int, w: int, ev_in: bool):
+    if ev_in:
+        ev_ref, out_ref = rest
+    else:
+        (out_ref,) = rest
     src = img_ref[...].astype(jnp.int32)
     rp = src.shape[0]
     y0 = y0_ref[0]
@@ -66,7 +75,10 @@ def _kernel(y0_ref, img_ref, out_ref, *, method: int, black: int, h: int, w: int
     y_odd = (yy & 1) == 1
     x_odd = (xx & 1) == 1
 
-    E = evarith.raw2ev16(src, black)
+    # the EV transform is the kernel's dominant op count; EV_PRECOMPUTE
+    # evaluates it once per frame in XLA (no apron recompute) and streams
+    # it in as a second block — same evarith function, bit-identical
+    E = ev_ref[...] if ev_in else evarith.raw2ev16(src, black)
 
     def rollr(v, dy):
         return pltpu.roll(v, (-dy) % rp, axis=0) if dy else v
@@ -138,13 +150,22 @@ def chroma_smooth_pallas(img, method: int, black: int, interpret: bool = False):
     hp = n_chunks * core + 2 * APRON
     a_p = jnp.pad(img.astype(jnp.int32), ((APRON, hp - h - APRON), (0, 0)))
     chunk = core + 2 * APRON
+    ev_in = EV_PRECOMPUTE
+    if ev_in:
+        # pad AFTER the transform: raw2ev16(0, black) == 0 for black > 0,
+        # so zero-padding E equals transforming the zero-padded image
+        e_p = jnp.pad(evarith.raw2ev16(img.astype(jnp.int32), black),
+                      ((APRON, hp - h - APRON), (0, 0)))
 
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec((chunk, w), lambda: (0, 0)),
+    ]
+    if ev_in:
+        in_specs.append(pl.BlockSpec((chunk, w), lambda: (0, 0)))
     call = pl.pallas_call(
-        functools.partial(_kernel, method=method, black=int(black), h=h, w=w),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((chunk, w), lambda: (0, 0)),
-        ],
+        functools.partial(_kernel, method=method, black=int(black), h=h, w=w, ev_in=ev_in),
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((chunk, w), lambda: (0, 0)),
         out_shape=jax.ShapeDtypeStruct((chunk, w), jnp.int32),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
@@ -154,7 +175,8 @@ def chroma_smooth_pallas(img, method: int, black: int, interpret: bool = False):
     for c in range(n_chunks):
         lo = c * core
         y0 = jnp.array([lo - APRON], jnp.int32)
-        res = call(y0, a_p[lo : lo + chunk])
+        args = (y0, a_p[lo : lo + chunk]) + ((e_p[lo : lo + chunk],) if ev_in else ())
+        res = call(*args)
         keep = min(core, h - lo)
         outs.append(res[APRON : APRON + keep])
     full = jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
