@@ -84,6 +84,13 @@ struct BitReader {
 struct Huff {
     // flat 16-bit lookup: value = (code length << 8) | ssss
     std::vector<uint16_t> lut;
+    // first-level 8-bit lookup: the 64 KiB flat table misses L1 on nearly
+    // every sample; codes are almost always <= 8 bits for raw sensor data,
+    // so this 512 B L1-resident table resolves the common case and falls
+    // back to the flat table for longer (or invalid) codes. By prefix-
+    // freeness every 16-bit extension of a <=8-bit code decodes identically,
+    // so lut8[i] = lut[i << 8] whenever that entry's length is <= 8.
+    std::vector<uint16_t> lut8;
 
     bool build(const uint8_t* counts /*16*/, const uint8_t* symbols, int nsym) {
         lut.assign(1 << 16, 0xFFFF);
@@ -106,6 +113,11 @@ struct Huff {
                 code++;
             }
             code <<= 1;
+        }
+        lut8.assign(256, 0xFFFF);
+        for (int i = 0; i < 256; i++) {
+            uint16_t e = lut[(uint32_t)i << 8];
+            if (e != 0xFFFF && (e >> 8) <= 8) lut8[i] = e;
         }
         return true;
     }
@@ -158,10 +170,15 @@ inline uint16_t be16(const uint8_t* p) { return (uint16_t)((p[0] << 8) | p[1]); 
 
 // Per-sample decode against a raw LUT pointer (the Huff/vector indirection
 // per sample measurably slowed the hot loop).
-static inline bool decode_lut(const uint16_t* lut, BitReader& br, int& diff) {
+static inline bool decode_lut(const uint16_t* lut8, const uint16_t* lut,
+                              BitReader& br, int& diff) {
     if (br.nbits < 32) br.fill();  // one sample consumes at most 32 bits
-    uint16_t e = lut[(uint32_t)(br.bits >> 48)];
-    if (e == 0xFFFF) return false;
+    uint16_t e = lut8[(uint32_t)(br.bits >> 56)];
+    if (__builtin_expect(e == 0xFFFF, 0)) {
+        // long code (or invalid: the flat table then also reads 0xFFFF)
+        e = lut[(uint32_t)(br.bits >> 48)];
+        if (e == 0xFFFF) return false;
+    }
     int len = e >> 8;
     int t = e & 0xFF;
     br.bits <<= len;
@@ -189,7 +206,11 @@ static int decode_scan(BitReader& br, const Huff* huff, const int* comp_table,
                        int w, int h, int ncomp_rt, int defaultval, uint16_t* out) {
     const int ncomp = NC ? NC : ncomp_rt;
     const uint16_t* luts[4];
-    for (int c = 0; c < ncomp; c++) luts[c] = huff[comp_table[c]].lut.data();
+    const uint16_t* luts8[4];
+    for (int c = 0; c < ncomp; c++) {
+        luts[c] = huff[comp_table[c]].lut.data();
+        luts8[c] = huff[comp_table[c]].lut8.data();
+    }
     int rowlen = w * ncomp;
     std::vector<int> prevrow(rowlen), currow(rowlen);
     for (int y = 0; y < h; y++) {
@@ -197,7 +218,7 @@ static int decode_scan(BitReader& br, const Huff* huff, const int* comp_table,
         // x == 0: default value (first row) or the pixel above
         for (int c = 0; c < ncomp; c++) {
             int diff;
-            if (!decode_lut(luts[c], br, diff)) return -7;
+            if (!decode_lut(luts8[c], luts[c], br, diff)) return -7;
             int px = (y == 0) ? defaultval : prevrow[c];
             int val = (px + diff) & 0xFFFF;
             currow[c] = val;
@@ -207,7 +228,7 @@ static int decode_scan(BitReader& br, const Huff* huff, const int* comp_table,
             for (int x = 1; x < w; x++)
                 for (int c = 0; c < ncomp; c++) {
                     int diff;
-                    if (!decode_lut(luts[c], br, diff)) return -7;
+                    if (!decode_lut(luts8[c], luts[c], br, diff)) return -7;
                     int i = x * ncomp + c;
                     int val = (currow[i - ncomp] + diff) & 0xFFFF;  // left
                     currow[i] = val;
@@ -219,7 +240,7 @@ static int decode_scan(BitReader& br, const Huff* huff, const int* comp_table,
             for (int x = 1; x < w; x++)
                 for (int c = 0; c < ncomp; c++) {
                     int diff;
-                    if (!decode_lut(luts[c], br, diff)) return -7;
+                    if (!decode_lut(luts8[c], luts[c], br, diff)) return -7;
                     int i = x * ncomp + c;
                     int px;
                     if (PRED == 0) px = 0;
