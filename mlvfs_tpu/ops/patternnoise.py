@@ -172,8 +172,21 @@ def _fix_column_noise_rggb(raw, white):
 
 
 def fix_pattern_noise_image(img: jnp.ndarray, white: int) -> jnp.ndarray:
-    """Full pattern-noise fix on one frame (int16 semantics, uint16 storage)."""
+    """Full pattern-noise fix on one frame (int16 semantics, uint16 storage).
+
+    Odd frame dimensions (real: EOSM crop mode records 1808x727) process
+    the even-cropped region and pass the last row/column through unchanged.
+    The reference has no defined behavior to match here: its channel
+    buffers are w/2*h/2 but extract_channel writes ceil(h/2) rows — a heap
+    overflow for odd sizes (patternnoise.c:287-296 vs :315-328)."""
     h, w = img.shape
+    he, we = h & ~1, w & ~1
+    if (he, we) != (h, w):
+        if he == 0 or we == 0:
+            return img
+        core = fix_pattern_noise_image(img[:he, :we], white)
+        out = img.at[:he, :we].set(core.astype(img.dtype))
+        return out
     raw = img.astype(jnp.int16).astype(jnp.int32)
     if _use_pallas() and h % 2 == 0 and w % 2 == 0:
         # interleaved-grid path: the Pallas blur and the column offsets run

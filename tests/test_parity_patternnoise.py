@@ -148,3 +148,22 @@ def test_pattern_noise_parity_fused_path():
         os.environ.pop("MLVFS_TPU_PN_PALLAS", None)
         os.environ.pop("MLVFS_TPU_PN_INTERPRET", None)
     np.testing.assert_array_equal(ref, ours)
+
+
+def test_pattern_noise_odd_dimensions():
+    """Odd frame sizes (real: EOSM crop 1808x727) process the even-cropped
+    region and pass the last row/column through. The reference C has no
+    defined semantics here — extract_channel writes ceil(h/2) rows into a
+    h/2-row buffer (patternnoise.c:287-296 vs :315-328), a heap overflow —
+    so this is a defined-behavior divergence, not an oracle gate."""
+    rng = np.random.default_rng(11)
+    for h, w in ((97, 160), (96, 161), (97, 161)):
+        img = rng.integers(0, 15000, size=(h, w), dtype=np.int64).astype(np.uint16)
+        out = np.asarray(fix_pattern_noise_batch(jnp.asarray(img[None]), 15000))[0]
+        he, we = h & ~1, w & ~1
+        want_core = np.asarray(
+            fix_pattern_noise_batch(jnp.asarray(img[None, :he, :we]), 15000)
+        )[0]
+        np.testing.assert_array_equal(out[:he, :we], want_core)
+        np.testing.assert_array_equal(out[he:, :], img[he:, :])
+        np.testing.assert_array_equal(out[:, we:], img[:, we:])
