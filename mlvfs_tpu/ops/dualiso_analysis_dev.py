@@ -55,29 +55,36 @@ def fields_stat_batch(imgs, black: int, active_y1: int = 0):
 
     def one(img):
         region = img.astype(jnp.int32) & 16383
-        sorted_ph = [jnp.sort(phase_slice(region, q).reshape(-1)) for q in range(4)]
-        n = sorted_ph[0].shape[0]
+        phases = jnp.stack(
+            [phase_slice(region, q).reshape(-1) for q in range(4)]
+        )  # (4, n)
+        n = phases.shape[1]
         hist_total = n  # identical count per phase by construction
 
         def raw_at(ref):
-            idx = jnp.clip(ref - 1, 0, n - 1)
-            return jnp.where(
-                ref <= 0, 0, jnp.stack([sp[idx] for sp in sorted_ph]) + 1
-            )
+            # (ref-1)-th order statistic per phase + 1 — value-range
+            # bisection (14 passes over the stack) instead of four full
+            # sorts: exact for integers, ~4x cheaper than one jnp.sort
+            k = jnp.clip(ref - 1, 0, n - 1)
+            lo = jnp.zeros(4, jnp.int32)
+            hi = jnp.full(4, 16384, jnp.int32)
+            for _ in range(15):  # interval 16385 -> 1
+                mid = (lo + hi) >> 1
+                cnt = (phases <= mid[:, None]).sum(axis=1)
+                take = cnt >= k + 1
+                hi = jnp.where(take, mid, hi)
+                lo = jnp.where(take, lo, mid + 1)
+            return jnp.where(ref <= 0, 0, lo + 1)
 
         ref_max = int(hist_total * 0.998)
         ref_off = int(hist_total * 0.05)
-        # cum_q[white-2] = #values <= white-2
-        cum_white = jnp.stack(
-            [jnp.searchsorted(sp, white - 2, side="right") for sp in sorted_ph]
-        )
+        # cum_q[white-2] = #values <= white-2 (one compare+reduce pass)
+        cum_white = (phases <= white - 2).sum(axis=1)
         first_break = cum_white.min() + 1
         ref_final = jnp.minimum(ref_max - 1, first_break).astype(jnp.int32)
 
         thr = black + (white - black) // 4
-        cum_thr = jnp.stack(
-            [jnp.searchsorted(sp, max(thr - 2, 0), side="right") for sp in sorted_ph]
-        )
+        cum_thr = (phases <= max(thr - 2, 0)).sum(axis=1)
         cond_bound = cum_thr.min().astype(jnp.int32)
         ref_b = jnp.minimum(jnp.minimum(ref_off - 1, cond_bound), ref_final)
         off = jnp.where(ref_b >= 0, raw_at(ref_b), jnp.zeros(4, jnp.int32))
@@ -119,9 +126,18 @@ def white_detect_batch(imgs, is_bright, active_area, max_pix: int):
             keep = (sel >= 0) & ((order <= max_pix - 1) | (order == count))
             vals = jnp.where(keep, sel, -1)
             k = jnp.minimum(discard[bin_idx], jnp.maximum(jnp.minimum(count, max_pix) - 1, 0))
-            top = -jnp.sort(-vals.astype(jnp.int32))
-            kth = top[k]
-            whites.append(kth - margins[bin_idx])
+            # k-th largest (0-indexed) = smallest v with count(vals > v) <= k;
+            # 15-pass value bisection in place of the descending full sort.
+            # Invariant: over(hi) <= k, over(lo) > k (lo = -2 is a virtual
+            # always-invalid boundary; -1 is a reachable value: the fills).
+            lo = jnp.full((), -2, jnp.int32)
+            hi = jnp.full((), 16383, jnp.int32)
+            for _ in range(16):  # interval 16386 -> 1 needs 15; one spare
+                mid = (lo + hi) >> 1
+                ok_mid = (vals > mid).sum() <= k
+                hi = jnp.where(ok_mid, mid, hi)
+                lo = jnp.where(ok_mid, lo, mid)
+            whites.append(hi - margins[bin_idx])
         wd = jnp.clip(whites[0], 10000, 16383)
         wb = jnp.clip(whites[1], 5000, 16383)
         return wd, wb
@@ -168,8 +184,17 @@ def match_exposures_batch(imgs, is_bright, black20s, white20s, shape, active_y1:
         unclipped = bright < clip
         n = unclipped.sum()
         big = 1 << 30
-        bs = jnp.sort(jnp.where(unclipped, bright, big))
-        ds = jnp.sort(jnp.where(unclipped, dark, big))
+        # ONE two-operand sort (darks ride along) supplies every order
+        # statistic AND the highlight selection: the selected pairs
+        # (b_lo < bright < b_hi) are a CONTIGUOUS window of the
+        # bright-sorted order, so the 230k-element cumsum+scatter
+        # compaction this replaces (~1.2 ms/frame: TPU scatters serialize
+        # per element) becomes a dynamic slice. The RANSAC score is a sum
+        # over the selected pair SET, so pair order is irrelevant; the
+        # hi_nmax cap binds on a different subset than the raster-order
+        # reference cap only when >hi_nmax pixels are selected (PSNR-gated
+        # path).
+        bs, dcarry = jax.lax.sort((jnp.where(unclipped, bright, big), dark), num_keys=1)
 
         def wirth_k(nn):
             return jnp.where((nn & 1) == 1, nn // 2, nn // 2 - 1)
@@ -179,16 +204,27 @@ def match_exposures_batch(imgs, is_bright, black20s, white20s, shape, active_y1:
         b_lo = bs[k98]
         k999 = jnp.clip((n.astype(jnp.float32) * 0.999).astype(jnp.int32), 0, bs.shape[0] - 1)
         b_hi = bs[k999]
-        dmed = ds[jnp.clip(wirth_k(n), 0, ds.shape[0] - 1)]
+        # median of the unclipped darks: value-range bisection (exact)
+        dm = jnp.where(unclipped, dark, big)
+        kd = jnp.clip(wirth_k(n), 0, dm.shape[0] - 1)
+        dlo = jnp.full((), -(1 << 18), jnp.int32)
+        dhi = jnp.full((), 1 << 18, jnp.int32)
+        for _ in range(20):  # interval 2^19+1 -> 1
+            dmid = (dlo + dhi) >> 1
+            cnt = (dm <= dmid).sum()
+            take = cnt >= kd + 1
+            dhi = jnp.where(take, dmid, dhi)
+            dlo = jnp.where(take, dlo, dmid + 1)
+        dmed = dlo
 
-        sel = (bright > b_lo) & (bright < b_hi)
-        order = jnp.cumsum(sel)
-        sel &= order <= hi_nmax
-        slot = jnp.where(sel, order - 1, hi_nmax)
-        hb = jnp.zeros(hi_nmax + 1, jnp.float32).at[slot].set(bright.astype(jnp.float32), mode="drop")[:hi_nmax]
-        hd = jnp.zeros(hi_nmax + 1, jnp.float32).at[slot].set(dark.astype(jnp.float32), mode="drop")[:hi_nmax]
-        nval = jnp.minimum(order[-1], hi_nmax)
-        valid = jnp.arange(hi_nmax) < nval
+        start = (bs <= b_lo).sum()  # first sorted index with bright > b_lo
+        bs_pad = jnp.concatenate([bs, jnp.full(hi_nmax, big, bs.dtype)])
+        dc_pad = jnp.concatenate([dcarry, jnp.zeros(hi_nmax, dcarry.dtype)])
+        hb_w = jax.lax.dynamic_slice(bs_pad, (start,), (hi_nmax,))
+        hd_w = jax.lax.dynamic_slice(dc_pad, (start,), (hi_nmax,))
+        valid = hb_w < b_hi  # window starts past b_lo; big pads fail this
+        hb = jnp.where(valid, hb_w, 0).astype(jnp.float32)
+        hd = jnp.where(valid, hd_w, 0).astype(jnp.float32)
 
         evs = jnp.arange(3000, dtype=jnp.float32) * 0.002
         a_cand = jnp.exp2(-evs)

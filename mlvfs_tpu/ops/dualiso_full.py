@@ -88,7 +88,11 @@ def hdr_check_batch(imgs, black: int, white: int):
     def one(img):
         p = img.astype(jnp.int32)
         p2 = _shift(p, 2, 0)
-        inner = jnp.zeros(img.shape, bool).at[2:-2, 2:-2].set(True)
+        h, w = img.shape
+        yy = jax.lax.broadcasted_iota(jnp.int32, img.shape, 0)
+        xx = jax.lax.broadcasted_iota(jnp.int32, img.shape, 1)
+        # iota compares, not .at[].set: a region scatter costs ~1 ms/frame
+        inner = (yy >= 2) & (yy < h - 2) & (xx >= 2) & (xx < w - 2)
         valid = inner & ((p > black + 32) | (p2 > black + 32)) & (p < white) & (p2 < white)
         diff = jnp.where(valid, jnp.abs(evf(p2) - evf(p)), 0.0)
         num = valid.sum()
@@ -464,6 +468,43 @@ def reconstruct_batch(
 # ------------------------------------------------------------ orchestrator
 
 
+@functools.partial(jax.jit, static_argnums=(8, 9))
+def _decide_batch(is_hdr, okf, ibf, wd_w, mok, a_dev, b_dev, wd_dev, hh: int, black: int):
+    """Per-frame conversion decision + traced reconstruct scalars, fused into
+    one program (the reference's host loop, hdr.c:1853-1886 semantics)."""
+    dark_noise_ev = np.log2(8.0) + 6
+    ys = np.arange(hh)
+    corr_ev_d = jnp.log2(1.0 / a_dev)
+    white20s_d = wd_w.astype(jnp.int32) * 64
+    lowiso_dr = (
+        jnp.log2(jnp.maximum(white20s_d - black * 64, 1).astype(jnp.float32))
+        - dark_noise_ev
+    )
+    ov_d = lowiso_dr - corr_ev_d
+    ov_d = ov_d - jnp.minimum(3.0, ov_d - 3.0)
+    ok_dev = is_hdr & okf & mok & (ov_d >= 0.5)
+    ibb = ibf.astype(bool)
+    row_bright = ibb[:, ys % 4] & ok_dev[:, None]
+    s_arr = jnp.where(
+        (ibb[:, ys % 4] == ibb[:, (ys + 1) % 4]) & ok_dev[:, None], -1, 1
+    ).astype(jnp.int32)
+    a_arr = jnp.where(ok_dev, a_dev, 1.0).astype(jnp.float32)
+    b20_arr = jnp.where(ok_dev, b_dev * 16, 0.0).astype(jnp.float32)
+    wd_arr = jnp.where(ok_dev, wd_dev, 1 << 20).astype(jnp.int32)
+    ce_arr = jnp.where(ok_dev, corr_ev_d, 0.0).astype(jnp.float32)
+    ov_arr = jnp.where(ok_dev, ov_d, 1.0).astype(jnp.float32)
+    return ok_dev, row_bright, s_arr, a_arr, b20_arr, wd_arr, ce_arr, ov_arr, white20s_d
+
+
+@functools.partial(jax.jit, static_argnums=(3,))
+def _merge_converted(imgs, out_sub, ok, y_off: int):
+    """Write the converted sub-region back and keep failed frames original
+    — one program instead of two full-frame dispatches."""
+    hh = out_sub.shape[1]
+    out = imgs.at[:, y_off : y_off + hh, :].set(out_sub)
+    return jnp.where(ok[:, None, None], out, imgs)
+
+
 def cr2hdr20_batch(imgs, fh, cfg, cal):
     """Full path for a batch. Returns (imgs_u16, ok_mask ndarray)."""
     ri = fh.raw_info
@@ -576,49 +617,49 @@ def cr2hdr20_batch(imgs, fh, cfg, cal):
         mok, a_dev, b_dev, wd_dev = dev.match_exposures_batch(
             sub_view, ibf, black20s, min20s, (hh, w), ay1
         )
-        is_hdr, okf, ibf, wdarks, mok, a_np, b_np, wd_np = jax.device_get(
-            (is_hdr_dev, okf, ibf, wd_dev_w, mok, a_dev, b_dev, wd_dev)
-        )
+        # device-vectorized per-frame decisions: the reference's host loop is
+        # pure arithmetic on the analysis scalars, so it runs as ONE jitted
+        # program (every unjitted jnp op would be its own dispatch — ~1.4 ms
+        # each through a remote relay) and NO mid-path host round trip is
+        # needed — except once per clip, to fix the reconstruction's static
+        # (black20, white20) compile key (cached in cal like the Bayer
+        # order). Failed frames carry neutral scalars; their reconstruction
+        # output is discarded by where(ok).
+        (
+            ok,
+            row_bright,
+            s_arr,
+            a_arr,
+            b20_arr,
+            wd_arr,
+            ce_arr,
+            ov_arr,
+            white20s_d,
+        ) = _decide_batch(is_hdr_dev, okf, ibf, wd_dev_w, mok, a_dev, b_dev, wd_dev, hh, black)
 
-        ys = np.arange(hh)
-        row_bright = np.zeros((b, hh), bool)
-        s_arr = np.ones((b, hh), np.int32)
-        a_arr = np.ones(b, np.float32)
-        b20_arr = np.zeros(b, np.float32)
-        wd_arr = np.full(b, 1 << 20, np.int32)
-        ce_arr = np.zeros(b, np.float32)
-        ov_arr = np.ones(b, np.float32)
-        whites20 = np.zeros(b, np.int64)
-        for i in range(b):
-            if not (is_hdr[i] and okf[i] and mok[i]):
-                continue
-            white20_i = int(wdarks[i]) * 64
-            corr_ev = float(np.log2(1.0 / a_np[i]))
-            lowiso_dr = np.log2(white20_i - black * 64) - dark_noise_ev
-            overlap = lowiso_dr - corr_ev
-            overlap -= min(3.0, overlap - 3.0)
-            if overlap < 0.5:
-                continue
-            ok[i] = True
-            ib = ibf[i].astype(bool)
-            row_bright[i] = ib[ys % 4]
-            s_arr[i] = np.where(ib[ys % 4] == ib[(ys + 1) % 4], -1, 1)
-            a_arr[i] = a_np[i]
-            b20_arr[i] = b_np[i] * 16
-            wd_arr[i] = wd_np[i]
-            ce_arr[i] = corr_ev
-            ov_arr[i] = overlap
-            whites20[i] = white20_i
+        cached_w20 = getattr(cal, "dual_iso_white20", None) if cal is not None else None
+        if cached_w20 is None:
+            # one host pull per clip: the first batch fixes white20
+            ok_np, w20_np = jax.device_get((ok, white20s_d))
+            if not ok_np.any():
+                return imgs, ok_np
+            cached_w20 = int(w20_np[ok_np][0])
+            if cal is not None:
+                cal.dual_iso_white20 = cached_w20
+        whites20 = np.array([cached_w20], np.int64)
 
-    if not ok.any():
-        return imgs, ok
+    if isinstance(ok, np.ndarray):
+        if not ok.any():
+            return imgs, ok
+        whites20 = np.asarray(whites20)
+        whites20 = np.array([int(whites20[ok][0])], np.int64)
 
     # the reconstruction is compiled per (black20, white20): white_detect can
     # vary per frame; use the first converted frame's white for the LUTs and
     # pass per-frame white via white_darkened/rows (the LUT white clamp only
     # affects values at/above white — PSNR-immaterial for mixed batches)
     black20 = black * 64
-    white20 = int(whites20[ok][0])
+    white20 = int(whites20[0])
     exact = bool(getattr(cfg, "exact_luts", False))
     import math as _math
 
@@ -658,6 +699,4 @@ def cr2hdr20_batch(imgs, fh, cfg, cal):
         white_ev=white_ev,
         arith=arith,
     )
-    out = imgs.at[:, y_off : y_off + hh, :].set(out_sub)
-    okj = jnp.asarray(ok)[:, None, None]
-    return jnp.where(okj, out, imgs), ok
+    return _merge_converted(imgs, out_sub, jnp.asarray(ok), y_off), ok

@@ -34,6 +34,10 @@ class ClipCalibration:
     focus_done: bool = False
     dual_iso_rggb: bool = None  # Bayer order is per-clip; cache the first
     #                             batch's detection (saves a device round trip)
+    dual_iso_white20: int = None  # the reconstruction's static white level,
+    #                               fixed by the first converted batch — later
+    #                               batches then run analysis + reconstruction
+    #                               as one uninterrupted device dispatch chain
 
 
 def calibrate_clip(fh, cfg: ProcessingConfig) -> ClipCalibration:
