@@ -468,6 +468,26 @@ def reconstruct_batch(
 # ------------------------------------------------------------ orchestrator
 
 
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def _analyze_batch(imgs, is_hdr, y_off: int, hh: int, black: int):
+    """Field/white/exposure analysis + conversion decisions as one program
+    (each stage is itself jitted; nesting inlines them into one dispatch)."""
+    from . import dualiso_analysis_dev as dev
+
+    b, _, w = imgs.shape
+    ay1 = y_off  # GBRG shifts one row: active_y1 == y_off by construction
+    sub_view = imgs[:, y_off : y_off + hh, :]
+    okf, ibf = dev.fields_stat_batch(sub_view, black, ay1)
+    max_pix = w * hh // 2 // 9
+    wd_w, wb_w = dev.white_detect_batch(sub_view, ibf, (ay1, 0, hh, w), max_pix)
+    black20s = jnp.full(b, black * 64, jnp.int32)
+    min20s = (jnp.minimum(wd_w, wb_w) * 64).astype(jnp.int32)
+    mok, a_dev, b_dev, wd_dev = dev.match_exposures_batch(
+        sub_view, ibf, black20s, min20s, (hh, w), ay1
+    )
+    return _decide_batch(is_hdr, okf, ibf, wd_w, mok, a_dev, b_dev, wd_dev, hh, black)
+
+
 @functools.partial(jax.jit, static_argnums=(8, 9))
 def _decide_batch(is_hdr, okf, ibf, wd_w, mok, a_dev, b_dev, wd_dev, hh: int, black: int):
     """Per-frame conversion decision + traced reconstruct scalars, fused into
@@ -608,23 +628,14 @@ def cr2hdr20_batch(imgs, fh, cfg, cal):
         y_off = 0 if rggb else 1
         hh = h if rggb else h - 1
         ay1 = 0 if rggb else 1
-        sub_view = imgs[:, y_off : y_off + hh, :]
-        okf, ibf = dev.fields_stat_batch(sub_view, black, ay1)
-        max_pix = w * hh // 2 // 9
-        wd_dev_w, wb_dev_w = dev.white_detect_batch(sub_view, ibf, (ay1, 0, hh, w), max_pix)
-        black20s = jnp.full(b, black * 64, jnp.int32)
-        min20s = (jnp.minimum(wd_dev_w, wb_dev_w) * 64).astype(jnp.int32)
-        mok, a_dev, b_dev, wd_dev = dev.match_exposures_batch(
-            sub_view, ibf, black20s, min20s, (hh, w), ay1
-        )
-        # device-vectorized per-frame decisions: the reference's host loop is
-        # pure arithmetic on the analysis scalars, so it runs as ONE jitted
-        # program (every unjitted jnp op would be its own dispatch — ~1.4 ms
-        # each through a remote relay) and NO mid-path host round trip is
-        # needed — except once per clip, to fix the reconstruction's static
-        # (black20, white20) compile key (cached in cal like the Bayer
-        # order). Failed frames carry neutral scalars; their reconstruction
-        # output is discarded by where(ok).
+        # ONE jitted program for field/white/exposure analysis plus the
+        # per-frame conversion decisions (the reference's host loop is pure
+        # arithmetic on the analysis scalars): through a remote relay every
+        # separate dispatch costs ~1.4 ms, and NO mid-path host round trip
+        # is needed — except once per clip, to fix the reconstruction's
+        # static (black20, white20) compile key (cached in cal like the
+        # Bayer order). Failed frames carry neutral scalars; their
+        # reconstruction output is discarded by where(ok).
         (
             ok,
             row_bright,
@@ -635,7 +646,7 @@ def cr2hdr20_batch(imgs, fh, cfg, cal):
             ce_arr,
             ov_arr,
             white20s_d,
-        ) = _decide_batch(is_hdr_dev, okf, ibf, wd_dev_w, mok, a_dev, b_dev, wd_dev, hh, black)
+        ) = _analyze_batch(imgs, is_hdr_dev, y_off, hh, black)
 
         cached_w20 = getattr(cal, "dual_iso_white20", None) if cal is not None else None
         if cached_w20 is None:
