@@ -227,14 +227,43 @@ def apply_preview(imgs, a, b, shadow, dark_row_start, black: int, white: int):
 # ------------------------------------------------------------- orchestrator
 
 
+def _use_preview_dev() -> bool:
+    import os
+
+    mode = os.environ.get("MLVFS_TPU_PREVIEW_DEV", "auto")
+    if mode == "0":
+        return False
+    if mode == "1":
+        return True
+    # device fit on TPU (no host round trip mid-batch; 17 -> 2.7 ms/frame
+    # through this rig's relay); the host f64 fit stays the CPU default
+    # (the sample pull is free in-process)
+    return jax.default_backend() == "tpu"
+
+
 def hdr_preview_batch(imgs, fh, cal):
-    """Full preview path for a batch. Returns (imgs, ok_mask list)."""
+    """Full preview path for a batch. Returns (imgs, ok_mask array).
+
+    Default: the phase detection + histogram fit run on device
+    (ops/dualiso_preview_dev.py) so the batch never visits the host —
+    the host path (np.bincount + f64 CDF walk) remains behind
+    MLVFS_TPU_PREVIEW_DEV=0."""
     ri = fh.raw_info
     black, white = ri.black_level, ri.white_level
     b = imgs.shape[0]
 
-    hists_dev, counts = green_phase_histograms(imgs, white)
-    fits = fit_preview(np.asarray(hists_dev), counts, black, white)
+    if _use_preview_dev():
+        from . import dualiso_preview_dev as pdev
+
+        ok, a, bb, shadow, drs = pdev.preview_fit_device(imgs, black, white)
+    else:
+        hists_dev, counts = green_phase_histograms(imgs, white)
+        fits = fit_preview(np.asarray(hists_dev), counts, black, white)
+        ok = np.array([f.ok for f in fits])
+        a = jnp.asarray([f.a if f.ok else 1.0 for f in fits])
+        bb = jnp.asarray([f.b if f.ok else 0.0 for f in fits])
+        shadow = jnp.asarray([f.shadow for f in fits])
+        drs = jnp.asarray([f.dark_row_start for f in fits])
 
     # focus pixels fixed inside the preview path, horizontal mode (hdr.c:109)
     if cal is not None and cal.focus_pixel_list is not None and len(cal.focus_pixel_list):
@@ -246,13 +275,8 @@ def hdr_preview_batch(imgs, fh, cal):
             imgs, cal.focus_pixel_list, black, crop_x, crop_y, dual_iso=True
         )
 
-    ok = np.array([f.ok for f in fits])
-    if not ok.any():
+    if isinstance(ok, np.ndarray) and not ok.any():
         return imgs, ok
-    a = jnp.asarray([f.a if f.ok else 1.0 for f in fits])
-    bb = jnp.asarray([f.b if f.ok else 0.0 for f in fits])
-    shadow = jnp.asarray([f.shadow for f in fits])
-    drs = jnp.asarray([f.dark_row_start for f in fits])
     converted = apply_preview(imgs, a, bb, shadow, drs, black, white)
     keep = jnp.asarray(ok)[:, None, None]
     return jnp.where(keep, converted, imgs), ok

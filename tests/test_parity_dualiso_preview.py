@@ -3,6 +3,7 @@
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 
 from mlvfs_tpu.format import synth
@@ -72,3 +73,27 @@ def test_preview_fit_values_match(tmp_path):
     assert fits[0].dark_row_start == 0
     # bright rows are ~2^3 brighter; fitted gain darkens them: a ≈ 1/8
     assert 0.06 < fits[0].a < 0.25
+
+
+@pytest.mark.parametrize("phase", [0, 1, 2, 3])
+def test_preview_fit_device_matches_host(tmp_path, phase):
+    """The device fit (ops/dualiso_preview_dev.py) must agree with the host
+    np/f64 path: phase detection exact, gain/offset to double-single
+    accuracy, shadow to the same truncated integer."""
+    from mlvfs_tpu.ops import dualiso_preview_dev as pdev
+
+    fh, spec, img = _dual_clip(tmp_path, phase=phase)
+    imgs = jnp.asarray(np.stack([img, img]))
+    hists, counts = dualiso.green_phase_histograms(imgs, spec.white)
+    fits = dualiso.fit_preview(np.asarray(hists), counts, spec.black, spec.white)
+    ok, a, b, shadow, drs = jax.device_get(
+        pdev.preview_fit_device(imgs, spec.black, spec.white)
+    )
+    for i, f in enumerate(fits):
+        assert bool(ok[i]) == f.ok
+        if not f.ok:
+            continue
+        assert int(drs[i]) == f.dark_row_start
+        assert abs(float(a[i]) - f.a) <= 1e-5 * max(abs(f.a), 1e-3), (a[i], f.a)
+        assert abs(float(b[i]) - f.b) <= 1e-3 * max(abs(f.b), 1.0), (b[i], f.b)
+        assert abs(int(shadow[i]) - f.shadow) <= 1, (shadow[i], f.shadow)
