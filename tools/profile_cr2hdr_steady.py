@@ -2,7 +2,7 @@
 engine's default batch 16 with per-clip caches warm (Bayer order +
 white20 fixed by the first batch) — the honest end-to-end dual-ISO
 device cost, vs profile_reconstruct.py's reconstruction-only number."""
-import sys, time, types
+import os, sys, time, types
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -11,7 +11,9 @@ from mlvfs_tpu.format import synth
 from mlvfs_tpu.ops import dualiso_full as dif
 from mlvfs_tpu.pipeline.config import ProcessingConfig
 
-H, W, B = 960, 1280, 16
+H = int(os.environ.get('PR_H', '960'))
+W = int(os.environ.get('PR_W', '1280'))
+B = int(os.environ.get('PR_B', '16'))
 spec = synth.SynthSpec(width=W, height=H, frames=1, dual_iso=3, seed=3)
 rng = np.random.default_rng(3)
 frame = synth.make_frame_data(spec, rng)
