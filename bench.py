@@ -229,15 +229,20 @@ def _bench_compressed(frame, spec, comp):
     decode = conv._decode_batch_host if comp == "lj92" else conv._lzma_batch_host
     batches = [list(range(i, i + batch)) for i in range(0, frames, batch)]
     decode(batches[0])  # warm (library load, page cache)
-    t0 = _time.perf_counter()
-    for indices in batches:
-        decode(indices)
-    dt = _time.perf_counter() - t0
+
+    def one_rep():
+        t0 = _time.perf_counter()
+        for indices in batches:
+            decode(indices)
+        return frames / (_time.perf_counter() - t0)
+
+    # best of 3, same methodology as the host leg (shared-host noise)
+    fps = max(one_rep() for _ in range(3))
     conv.close()
     import shutil
 
     shutil.rmtree(tmp, ignore_errors=True)
-    return frames / dt
+    return fps
 
 
 def _bench_encode(frame, spec):
@@ -252,13 +257,17 @@ def _bench_encode(frame, spec):
     imgs = np.broadcast_to(frame.astype(np.uint16), (batch, spec.height, spec.width))
     imgs = np.ascontiguousarray(imgs)
     lj92_codec.encode_batch(imgs[:2], ncomp=2, bits=16)  # warm (lib build)
-    t0 = _time.perf_counter()
-    done = 0
-    while done < frames:
-        lj92_codec.encode_batch(imgs, ncomp=2, bits=16)
-        done += batch
-    dt = _time.perf_counter() - t0
-    return done / dt
+
+    def one_rep():
+        t0 = _time.perf_counter()
+        done = 0
+        while done < frames:
+            lj92_codec.encode_batch(imgs, ncomp=2, bits=16)
+            done += batch
+        return done / (_time.perf_counter() - t0)
+
+    # best of 3, same methodology as the host leg (shared-host noise)
+    return max(one_rep() for _ in range(3))
 
 
 def _bench_e2e(frame, spec):

