@@ -235,7 +235,7 @@ def _use_preview_dev() -> bool:
         return False
     if mode == "1":
         return True
-    # device fit on TPU (no host round trip mid-batch; 17 -> 2.7 ms/frame
+    # device fit on TPU (no host round trip mid-batch; 17 -> 0.54 ms/frame
     # through this rig's relay); the host f64 fit stays the CPU default
     # (the sample pull is free in-process)
     return jax.default_backend() == "tpu"

@@ -9,16 +9,18 @@ on device (hdr.c:40-183 semantics):
   * per-phase green samples are static strided slices (rows of one
     y-mod-4 phase step 20, one column parity step 4), sorted per frame;
   * histogram medians are order statistics of the sorted samples;
-  * the CDF walk pairs the two exposures' cumulative counts: acc_hi per
-    raw value is a scatter-add histogram + cumsum (searchsorted lowers
-    to rounds of gathers, measured 2.4 ms/frame per phase), and the
-    reference's persistent raw_lo pointer has a closed form — the
-    smallest r with count(lo <= r) >= c is the c-th smallest lo sample,
-    one inverse-CDF gather;
+  * the CDF walk pairs the two exposures' cumulative counts; both
+    pointers have closed forms over the SORTED samples — acc_hi at the
+    next accepted bin is a run-end CDF gather, and the reference's
+    persistent raw_lo pointer is an inverse-CDF gather (the smallest r
+    with count(lo <= r) >= c is the c-th smallest lo sample);
   * the accept gate (advance only when >100 new hi pixels accumulated
     since the last accepted point) is the one genuinely sequential
-    piece — a lax.scan over raw values whose carry holds the last
-    accepted count and the weighted-least-squares sums;
+    piece, but it is a pointer jump, not a bin scan: from accepted
+    count c the next accepted bin is the sorted hi sample at rank
+    c+100, so the walk is a <= total/101-step lax.scan of three small
+    gathers carrying the weighted-least-squares sums (every other gate
+    is monotone over bins, hence terminal);
   * the LS sums run in double-single f32 (evarith primitives): terms
     reach w*x^2 ~ 2^43 over up to ~10^3 points, far beyond f32's 24-bit
     integer range, and the a = (mxy - mx*my)/(mx2 - mx^2) denominator
@@ -75,7 +77,6 @@ def preview_fit_device(imgs, black: int, white: int):
     # per-phase sorted samples (padded to a common length with white+1,
     # which sorts above every bin and so never perturbs a CDF over
     # 0..white); medians are order statistics of the sorted samples
-    vals = jnp.arange(nb, dtype=jnp.int32)
     sorted_ph = []
     medians = []
     real_counts = []
@@ -121,46 +122,60 @@ def preview_fit_device(imgs, black: int, white: int):
     counts_arr = jnp.asarray(real_counts, jnp.int32)
     n_lo = (counts_arr[None, :] * sel_lo).sum(axis=1)  # (B,)
 
-    # hi-phase CDF over bins: one scatter-add histogram + cumsum (a
-    # searchsorted here lowers to ~15 rounds of gathers — measured
-    # 2.4 ms/frame per phase; this is ~0.5 for the one phase needed)
-    hist = jnp.zeros((b, nb + 2), jnp.int32).at[
-        jnp.arange(b)[:, None], jnp.minimum(hi_samples, nb + 1)
-    ].add(1, mode="drop")
-    cdf_hi = jnp.cumsum(hist[:, :nb], axis=1)  # (B, nb) = acc_hi per bin
+    # The reference's bin walk visits every raw value 0..total-1, but a bin
+    # is accepted only when acc_hi grew by > min_pix since the last accept —
+    # and acc_hi is the CDF of the sorted hi samples, so the next accepted
+    # bin is a POINTER JUMP into the sorted samples: from last accepted
+    # count c, the first bin with acc_hi > c+min_pix is the value of the
+    # sorted sample at rank c+min_pix. Every other accept gate is terminal
+    # (acc_hi, raw_lo, and the bin value are all monotone over bins), so the
+    # walk is <= total/(min_pix+1)+2 steps of 3 small gathers — it replaces
+    # a 15001-step lax.scan plus eight materialized (B, white+1) arrays
+    # (scatter-hist, cumsum, inverse-CDF gather), and accumulates the exact
+    # same ds sums in the same order (skipped bins contributed exact zero
+    # adds). Accepted set and fp results are bit-identical by construction.
 
-    # the reference's persistent raw_lo walk, closed form: the smallest r
-    # with count(lo <= r) >= c is exactly the c-th smallest lo sample, so
-    # raw_lo is ONE gather into the sorted lo samples (inverse CDF)
-    idx = jnp.clip(cdf_hi - 1, 0, L - 1)
-    inv = jnp.take_along_axis(lo_sorted, idx, axis=1) + 1
-    raw_lo = jnp.where(
-        cdf_hi == 0, 0, jnp.where(cdf_hi > n_lo[:, None], nb, jnp.minimum(inv, nb))
+    # run-end CDF per sorted hi sample: cdf_at[i] = #real samples <= s[i]
+    # (pads at white+1 sort above every real sample; a pad candidate fails
+    # the bin < nb gate, so pads never contribute)
+    nxt = jnp.concatenate(
+        [hi_samples[:, 1:], jnp.full((b, 1), white + 2, jnp.int32)], axis=1
     )
-
-    # bin mask: raw_hi < total, and stop once raw_lo >= white (monotone, so
-    # masking == the reference's break)
-    bin_ok = (vals[None, :] < total) & (raw_lo < white)
+    pos1 = jnp.where(
+        nxt != hi_samples, jnp.arange(1, L + 1, dtype=jnp.int32)[None, :], L + 1
+    )
+    cdf_at = jax.lax.cummin(pos1, axis=1, reverse=True)  # (B, L)
 
     min_pix = 100
     lo_gate = total * 1 // 100
     hi_gate_num = int(total * 9999)  # acc_hi < total*99.99/100 ⇔ 10000*acc_hi < 9999*total
 
-    xs_f = (vals - black).astype(jnp.float32)  # per-bin x (same for all frames)
-    wt_f = jnp.maximum(vals - black + 100, 0).astype(jnp.float32)
-
     zero = jnp.zeros((b,), jnp.float32)
+    rows = jnp.arange(b)
 
-    def body(carry, inp):
-        prev, n, sums = carry
-        acc_hi_v, raw_lo_v, ok_v, x_v, wt_v = inp
+    def body(carry, _):
+        c, done, n, sums = carry
+        # first bin with acc_hi > max(c + min_pix, lo_gate): the sorted
+        # sample at that rank (rank >= L means no such bin exists)
+        rank = jnp.maximum(c + min_pix, lo_gate)
+        rank_c = jnp.minimum(rank, L - 1)
+        bin_v = hi_samples[rows, rank_c]
+        acc = cdf_at[rows, rank_c]
+        # raw_lo at this bin: inverse CDF of the lo samples (closed form)
+        lo_idx = jnp.clip(acc - 1, 0, L - 1)
+        inv = lo_sorted[rows, lo_idx] + 1
+        raw_lo_v = jnp.where(acc > n_lo, nb, jnp.minimum(inv, nb))
         accept = (
-            ok_v
-            & ((acc_hi_v - prev) > min_pix)
-            & (acc_hi_v > lo_gate)
-            & (acc_hi_v * 10000 < hi_gate_num)
+            ~done
+            & (rank < L)                      # un-clamped: diff > min_pix holds
+            & (bin_v < total)                 # reference loop bound (raw value!)
+            & (bin_v < nb)                    # real sample, inside the bin range
+            & (acc * 10000 < hi_gate_num)
+            & (raw_lo_v < white)
         )
+        x_v = (bin_v - black).astype(jnp.float32)
         y_v = (raw_lo_v - black).astype(jnp.float32)
+        wt_v = jnp.maximum(bin_v - black + 100, 0).astype(jnp.float32)
         af = accept.astype(jnp.float32)
         wte = wt_v * af  # exact: wt_v is an exact f32 integer, af in {0,1}
         # exact ds products of the (integer-valued) terms
@@ -176,24 +191,19 @@ def preview_fit_device(imgs, black: int, white: int):
             _ds_add(sxy_h, sxy_l, wxy_h, wxy_l),
             _ds_add(sx2_h, sx2_l, wx2_h, wx2_l),
         )
-        prev = jnp.where(accept, acc_hi_v, prev)
+        c = jnp.where(accept, acc, c)
+        done = done | ~accept  # every rejection is terminal (monotone gates)
         n = n + accept.astype(jnp.int32)
-        return (prev, n, sums), None
+        return (c, done, n, sums), None
 
     init = (
         jnp.zeros((b,), jnp.int32),
+        jnp.zeros((b,), jnp.bool_),
         jnp.zeros((b,), jnp.int32),
         tuple((zero, zero) for _ in range(5)),
     )
-    xs_scan = (
-        cdf_hi.T,  # (nb, B)
-        raw_lo.T,
-        bin_ok.T,
-        jnp.broadcast_to(xs_f[:, None], (nb, b)),
-        jnp.broadcast_to(wt_f[:, None], (nb, b)),
-    )
-    # the per-step loop overhead dwarfs the tiny (B,)-lane body: unroll
-    (prev, n, sums), _ = jax.lax.scan(body, init, xs_scan, unroll=64)
+    n_steps = max(2, total // (min_pix + 1) + 2)
+    (_, _, n, sums), _ = jax.lax.scan(body, init, None, length=n_steps, unroll=8)
 
     (sw_h, sw_l), (sx_h, sx_l), (sy_h, sy_l), (sxy_h, sxy_l), (sx2_h, sx2_l) = sums
     # weighted LS entirely in ds: a = (W*Sxy - Sx*Sy) / (W*Sx2 - Sx^2) —
