@@ -97,3 +97,42 @@ def test_preview_fit_device_matches_host(tmp_path, phase):
         assert abs(float(a[i]) - f.a) <= 1e-5 * max(abs(f.a), 1e-3), (a[i], f.a)
         assert abs(float(b[i]) - f.b) <= 1e-3 * max(abs(f.b), 1.0), (b[i], f.b)
         assert abs(int(shadow[i]) - f.shadow) <= 1, (shadow[i], f.shadow)
+
+
+def test_preview_fit_device_small_geometry_and_mixed_batch(tmp_path):
+    """Walk edge cases: a geometry whose sample count sits far below the
+    white level (the reference's `raw_hi < hist_total` loop bound, hdr.c:127,
+    then truncates the fit's bin range — the device walk keeps the quirk via
+    its `bin < total` gate), a flat non-dual frame in the same batch (no
+    accepted points -> neutral-gain fallback, phase not detected), and a
+    dual frame alongside them. Device fit must agree with the host f64 fit
+    frame-for-frame."""
+    import dataclasses
+
+    from mlvfs_tpu.ops import dualiso_preview_dev as pdev
+
+    spec = synth.SynthSpec(width=640, height=192, frames=1, seed=5, dual_iso=3)
+    rng = np.random.default_rng(spec.seed)
+    dual = synth.make_frame_data(spec, rng)
+    flat = np.full_like(dual, spec.black + 7)
+    plain = synth.make_frame_data(
+        dataclasses.replace(spec, dual_iso=0), np.random.default_rng(9)
+    )
+    imgs = jnp.asarray(np.stack([dual, flat, plain]))
+
+    hists, counts = dualiso.green_phase_histograms(imgs, spec.white)
+    fits = dualiso.fit_preview(np.asarray(hists), counts, spec.black, spec.white)
+    ok, a, b, shadow, drs = jax.device_get(
+        pdev.preview_fit_device(imgs, spec.black, spec.white)
+    )
+    assert fits[0].ok, "dual frame must be detected at small geometry"
+    for i, f in enumerate(fits):
+        assert bool(ok[i]) == f.ok, (i, ok[i], f.ok)
+        if not f.ok:
+            continue
+        assert int(drs[i]) == f.dark_row_start
+        assert np.isfinite(f.a) == np.isfinite(float(a[i]))
+        if np.isfinite(f.a):
+            assert abs(float(a[i]) - f.a) <= 1e-5 * max(abs(f.a), 1e-3), (a[i], f.a)
+            assert abs(float(b[i]) - f.b) <= 1e-3 * max(abs(f.b), 1.0), (b[i], f.b)
+            assert abs(int(shadow[i]) - f.shadow) <= 1, (shadow[i], f.shadow)
