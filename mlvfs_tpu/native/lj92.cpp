@@ -70,15 +70,6 @@ struct BitReader {
         }
     }
 
-    inline uint32_t peek(int n) {
-        fill();
-        return (uint32_t)(bits >> (64 - n));
-    }
-
-    inline void skip(int n) {
-        bits <<= n;
-        nbits -= n;
-    }
 };
 
 struct Huff {
@@ -122,49 +113,7 @@ struct Huff {
         return true;
     }
 
-    inline int decode(BitReader& br) const {
-        uint32_t idx = br.peek(16);
-        uint16_t e = lut[idx];
-        if (e == 0xFFFF) return -1;
-        br.skip(e >> 8);
-        return e & 0xFF;
-    }
-
-    // code + extra bits + EXTEND in one refill: worst case consumes
-    // 16 (code) + 16 (extra) = 32 <= the 57+ bits fill() guarantees.
-    inline bool decode_with_diff(BitReader& br, int& diff) const {
-        br.fill();
-        uint16_t e = lut[(uint32_t)(br.bits >> 48)];
-        if (e == 0xFFFF) return false;
-        int len = e >> 8;
-        int t = e & 0xFF;
-        br.bits <<= len;
-        br.nbits -= len;
-        if (t == 0) {
-            diff = 0;
-        } else if (t == 16) {
-            diff = 32768;
-        } else {
-            int x = (int)(uint32_t)(br.bits >> (64 - t));
-            br.bits <<= t;
-            br.nbits -= t;
-            if (x < (1 << (t - 1))) x -= (1 << t) - 1;
-            diff = x;
-        }
-        return true;
-    }
 };
-
-inline int extend(uint32_t v, int t) {
-    // T.81 EXTEND: map t-bit magnitude to signed difference. t is 0..16
-    // (enforced at Huffman-table build time).
-    if (t == 0) return 0;
-    if (t == 16) return 32768;  // special case: diff = 32768, no extra bits
-    int vt = 1 << (t - 1);
-    int x = (int)v;
-    if (x < vt) x -= (1 << t) - 1;
-    return x;
-}
 
 inline uint16_t be16(const uint8_t* p) { return (uint16_t)((p[0] << 8) | p[1]); }
 
@@ -181,16 +130,21 @@ static inline bool decode_lut(const uint16_t* lut8, const uint16_t* lut,
     }
     int len = e >> 8;
     int t = e & 0xFF;
-    br.bits <<= len;
-    br.nbits -= len;
     if (t == 0) {
+        br.bits <<= len;
+        br.nbits -= len;
         diff = 0;
-    } else if (t == 16) {
+    } else if (__builtin_expect(t == 16, 0)) {
+        br.bits <<= len;
+        br.nbits -= len;
         diff = 32768;
     } else {
-        int x = (int)(uint32_t)(br.bits >> (64 - t));
-        br.bits <<= t;
-        br.nbits -= t;
+        // extract the extra bits from the pre-shift buffer and consume
+        // code + extra in ONE shift — the bit buffer's serial dependency
+        // chain is the decode loop's critical path
+        int x = (int)(uint32_t)((br.bits << len) >> (64 - t));
+        br.bits <<= len + t;
+        br.nbits -= len + t;
         if (x < (1 << (t - 1))) x -= (1 << t) - 1;
         diff = x;
     }
