@@ -45,62 +45,70 @@ def fields_stat_batch(imgs, black: int, active_y1: int = 0):
     b, h, w = imgs.shape
     y0 = (active_y1 + 3) & ~3
     h4 = h // 4 * 4
+    hr = h4 - y0
 
-    # green pixels of each row phase are static slices: rows y0+q::4, column
-    # parity (y+1)%2 which is constant within a phase
-    def phase_slice(img, q):
-        y_start = y0 + ((q - y0) % 4)
-        off = (y_start + 1) % 2
-        return img[y_start:h4:4, off::2]
+    # The per-phase sample set (rows y0+q::4, green column parity) is NEVER
+    # gathered: the strided 4-phase gather alone measured ~2.0 ms/frame at
+    # 1080p (the bisection on the gathered stack was ~0.4). Every statistic
+    # this stage needs is a phase-bucketed COUNT, so each bisection pass
+    # compares the frame in place against a per-row threshold, masks the
+    # green checkerboard, reduces rows, and buckets row sums by y%4 — a
+    # fused read of the (B, hr, w) u16 region per pass, no relayout.
+    region = imgs[:, y0:h4, :] & jnp.uint16(16383)
+    ys = np.arange(y0, h4)
+    phase_of_row = jnp.asarray(ys % 4)  # == tile([0,1,2,3]): y0 % 4 == 0
+    green = jnp.asarray(((np.arange(w)[None, :] ^ ys[:, None]) & 1) == 1)
+    n = (hr // 4) * (w // 2)  # per-phase sample count (identical by constr.)
+    hist_total = n
 
-    def one(img):
-        region = img.astype(jnp.int32) & 16383
-        phases = jnp.stack(
-            [phase_slice(region, q).reshape(-1) for q in range(4)]
-        )  # (4, n)
-        n = phases.shape[1]
-        hist_total = n  # identical count per phase by construction
+    def counts(mid):
+        """#green-phase-q samples <= mid[..., q] — mid is (B, K, 4) int32,
+        returns (B, K, 4) int32. One in-place pass over the region."""
+        m16 = jnp.clip(mid, 0, 16383).astype(jnp.uint16)  # mid <= 16383 here
+        mrow = m16[:, :, phase_of_row]  # (B, K, hr)
+        le = (region[:, None] <= mrow[:, :, :, None]) & green[None, None]
+        per_row = le.sum(axis=3, dtype=jnp.int32)  # (B, K, hr)
+        return per_row.reshape(b, -1, hr // 4, 4).sum(axis=2)
 
-        def raw_at(ref):
-            # (ref-1)-th order statistic per phase + 1 — value-range
-            # bisection (14 passes over the stack) instead of four full
-            # sorts: exact for integers, ~4x cheaper than one jnp.sort
-            k = jnp.clip(ref - 1, 0, n - 1)
-            lo = jnp.zeros(4, jnp.int32)
-            hi = jnp.full(4, 16384, jnp.int32)
-            for _ in range(15):  # interval 16385 -> 1
-                mid = (lo + hi) >> 1
-                cnt = (phases <= mid[:, None]).sum(axis=1)
-                take = cnt >= k + 1
-                hi = jnp.where(take, mid, hi)
-                lo = jnp.where(take, lo, mid + 1)
-            return jnp.where(ref <= 0, 0, lo + 1)
+    ref_max = int(hist_total * 0.998)
+    ref_off = int(hist_total * 0.05)
+    thr = black + (white - black) // 4
+    # cum[white-2] and cum[thr-2] per phase: one fused two-threshold pass
+    fixed = jnp.broadcast_to(
+        jnp.asarray([white - 2, max(thr - 2, 0)], jnp.int32)[None, :, None], (b, 2, 4)
+    )
+    cum = counts(fixed)
+    first_break = cum[:, 0].min(axis=1) + 1
+    ref_final = jnp.minimum(ref_max - 1, first_break).astype(jnp.int32)  # (B,)
+    cond_bound = cum[:, 1].min(axis=1).astype(jnp.int32)
+    ref_b = jnp.minimum(jnp.minimum(ref_off - 1, cond_bound), ref_final)
 
-        ref_max = int(hist_total * 0.998)
-        ref_off = int(hist_total * 0.05)
-        # cum_q[white-2] = #values <= white-2 (one compare+reduce pass)
-        cum_white = (phases <= white - 2).sum(axis=1)
-        first_break = cum_white.min() + 1
-        ref_final = jnp.minimum(ref_max - 1, first_break).astype(jnp.int32)
+    # (ref-1)-th order statistic per phase for BOTH refs in one vectorized
+    # value-range bisection (15 in-place passes; exact for integers)
+    ref2 = jnp.stack([ref_b, ref_final], axis=1)[:, :, None]  # (B, 2, 1)
+    k = jnp.clip(jnp.broadcast_to(ref2, (b, 2, 4)) - 1, 0, n - 1)
+    lo = jnp.zeros((b, 2, 4), jnp.int32)
+    hi = jnp.full((b, 2, 4), 16384, jnp.int32)
+    for _ in range(15):  # interval 16385 -> 1
+        mid = (lo + hi) >> 1
+        cnt = counts(mid)
+        take = cnt >= k + 1
+        hi = jnp.where(take, mid, hi)
+        lo = jnp.where(take, lo, mid + 1)
+    stat2 = jnp.where(ref2 <= 0, 0, lo + 1)  # (B, 2, 4)
 
-        thr = black + (white - black) // 4
-        cum_thr = (phases <= max(thr - 2, 0)).sum(axis=1)
-        cond_bound = cum_thr.min().astype(jnp.int32)
-        ref_b = jnp.minimum(jnp.minimum(ref_off - 1, cond_bound), ref_final)
-        off = jnp.where(ref_b >= 0, raw_at(ref_b), jnp.zeros(4, jnp.int32))
-        raw = raw_at(ref_final) - off
-        srt = jnp.sort(raw)
-        median_bright = (srt[1] + srt[2]).astype(jnp.float32) / 2
-        is_bright = raw.astype(jnp.float32) > median_bright
-        ok = (
-            (is_bright.sum() == 2)
-            & (is_bright[0] != is_bright[2])
-            & (is_bright[1] != is_bright[3])
-            & (ref_final >= 0)
-        )
-        return ok, is_bright
-
-    return jax.vmap(one)(imgs)
+    off = jnp.where(ref_b[:, None] >= 0, stat2[:, 0], 0)
+    raw = stat2[:, 1] - off  # (B, 4)
+    srt = jnp.sort(raw, axis=1)
+    median_bright = (srt[:, 1] + srt[:, 2]).astype(jnp.float32) / 2
+    is_bright = raw.astype(jnp.float32) > median_bright[:, None]
+    ok = (
+        (is_bright.sum(axis=1) == 2)
+        & (is_bright[:, 0] != is_bright[:, 2])
+        & (is_bright[:, 1] != is_bright[:, 3])
+        & (ref_final >= 0)
+    )
+    return ok, is_bright
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3))
@@ -112,8 +120,7 @@ def white_detect_batch(imgs, is_bright, active_area, max_pix: int):
 
     def one(img, ib):
         ys = np.arange(y1, y2, 3)
-        xs = np.arange(x1, x2, 3)
-        grid = img[np.ix_(ys, xs)].astype(jnp.int32)
+        grid = img[y1:y2:3, x1:x2:3].astype(jnp.int32)  # slice, not gather
         bright_rows = ib[ys % 4]
         whites = []
         for bin_idx in range(2):
@@ -170,9 +177,12 @@ def match_exposures_batch(imgs, is_bright, black20s, white20s, shape, active_y1:
         clip = (clip0.astype(jnp.float32) * 0.95).astype(jnp.int32)
 
         p16 = img.astype(jnp.int32) << 2
-        pn = p16[np.ix_(ys, xs)] - black
-        pa = p16[np.ix_(ys - 2, xs)] - black
-        pb = p16[np.ix_(ys + 2, xs)] - black
+        # strided basic slices, NOT np.ix_ advanced indexing: the latter
+        # lowers to a gather (measured ~1 ms/frame at 1080p for the three
+        # 3x3-downsample reads); a slice is a cheap strided copy
+        pn = p16[y0 : h - 2 : 3, 0 : w : 3] - black
+        pa = p16[y0 - 2 : h - 4 : 3, 0 : w : 3] - black
+        pb = p16[y0 + 2 : h : 3, 0 : w : 3] - black
         pi = _tdiv(pa + pb + 1, 2)
         pi = jnp.where((pa >= clip) | (pb >= clip), clip0, pi)
         pn = jnp.where(pi >= clip, clip0, pn)
@@ -204,8 +214,10 @@ def match_exposures_batch(imgs, is_bright, black20s, white20s, shape, active_y1:
         b_lo = bs[k98]
         k999 = jnp.clip((n.astype(jnp.float32) * 0.999).astype(jnp.int32), 0, bs.shape[0] - 1)
         b_hi = bs[k999]
-        # median of the unclipped darks: value-range bisection (exact)
-        dm = jnp.where(unclipped, dark, big)
+        # median of the unclipped darks: value-range bisection (exact);
+        # materialize the masked stack once so the strided-gather chain
+        # behind dark/unclipped is not re-fused into all 20 passes
+        dm = jax.lax.optimization_barrier(jnp.where(unclipped, dark, big))
         kd = jnp.clip(wirth_k(n), 0, dm.shape[0] - 1)
         dlo = jnp.full((), -(1 << 18), jnp.int32)
         dhi = jnp.full((), 1 << 18, jnp.int32)
