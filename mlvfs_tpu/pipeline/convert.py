@@ -18,6 +18,7 @@ import concurrent.futures as _futures
 import functools
 import lzma
 import os
+import threading
 
 import jax
 import jax.numpy as jnp
@@ -96,6 +97,7 @@ class ClipConverter:
         self._templates = {}
         self._buf_ring = {}
         self._buf_turn = 0
+        self._buf_lock = threading.Lock()
         self._sharding = None
         self._batch_target = self.config.batch_size
         n_dev = int(getattr(self.config, "shard_devices", 0) or 0)
@@ -193,13 +195,21 @@ class ClipConverter:
         return out
 
     def _gather_buffer(self, shape) -> np.ndarray:
-        """Warm staging buffer from a small ring (see _gather_packed_batch)."""
+        """Warm staging buffer from a small ring (see _gather_packed_batch).
+
+        Lock-protected turn: up to ``prefetch`` fetches run concurrently on
+        the BatchPrefetcher's pool, and an unguarded read-modify-write of the
+        turn could hand the same buffer to two in-flight batches. The ring is
+        one deeper than the prefetch depth, so concurrent fetches always get
+        distinct buffers and the previous batch's buffer survives until its
+        device transfer has drained."""
         depth = max(2, int(self.config.prefetch) + 1)
-        self._buf_turn = (self._buf_turn + 1) % depth
-        key = (shape, self._buf_turn)
-        buf = self._buf_ring.get(key)
-        if buf is None:
-            buf = self._buf_ring[key] = np.empty(shape, "<u2")
+        with self._buf_lock:
+            self._buf_turn = (self._buf_turn + 1) % depth
+            key = (shape, self._buf_turn)
+            buf = self._buf_ring.get(key)
+            if buf is None:
+                buf = self._buf_ring[key] = np.empty(shape, "<u2")
         return buf
 
     # ------------------------------------------------------------------ #

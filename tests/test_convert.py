@@ -309,3 +309,43 @@ def test_cli_mount_and_serve_parse():
         cli.main(["serve", "--mlv-dir=/clips", "--port=9001", "--bind", "0.0.0.0"])
     assert called["s"].port == "9001"
     assert called["s"].bind == "0.0.0.0"
+
+
+def test_gather_buffer_ring_concurrent_distinct(tmp_path):
+    """Concurrent prefetch fetches must never share a staging buffer.
+
+    Up to ``prefetch`` gathers run simultaneously on the BatchPrefetcher
+    pool; the ring must hand each in-flight call a distinct buffer (a racy
+    turn counter once could return the same array to two batches, silently
+    cross-writing their frames)."""
+    import threading
+    from mlvfs_tpu.pipeline.convert import ClipConverter
+
+    src = str(tmp_path / "CLIP.MLV")
+    synth.write_mlv(src, width=320, height=96, frames=8)
+    cfg = ProcessingConfig(batch_size=2, prefetch=3)
+    with MLVClip(src) as clip:
+        conv = ClipConverter(clip, cfg)
+        try:
+            n_threads, rounds = cfg.prefetch, 64
+            ids = [[] for _ in range(n_threads)]
+            barrier = threading.Barrier(n_threads)
+
+            def worker(slot):
+                for _ in range(rounds):
+                    barrier.wait()
+                    ids[slot].append(id(conv._gather_buffer((2, 1024))))
+
+            threads = [threading.Thread(target=worker, args=(s,)) for s in range(n_threads)]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+            # per round, the simultaneously-held buffers are pairwise distinct
+            for r in range(rounds):
+                held = [ids[s][r] for s in range(n_threads)]
+                assert len(set(held)) == n_threads, f"round {r}: shared buffer {held}"
+            # and the ring reuses rather than growing without bound
+            assert len(conv._buf_ring) <= cfg.prefetch + 1
+        finally:
+            conv.close()
