@@ -117,8 +117,13 @@ def _kernel(y0_ref, img_ref, *rest, method: int, black: int, h: int, w: int, ev_
     # b-gen at b sites; value at green sites is never consumed)
     Q = E - ge
 
+    # factor the lane rolls: the offsets form a grid, so the 9/25 roll2 calls
+    # share only 3/5 distinct lane shifts — roll x once per column, then the
+    # (cheaper) sublane rolls per row. Order swap is exact: the axes are
+    # independent and the x-boundary mask is row-invariant.
     offs = _offsets(method)
-    stack = [roll2(Q, j, i) for (i, j) in offs]
+    q_by_dx = {i: rollx(Q, i, 0) for i in sorted({i for (i, _) in offs})}
+    stack = [rollr(q_by_dx[i], j) for (i, j) in offs]
     d = _median_k(stack, len(offs))
 
     # the skip rule is per CELL and uses BOTH medians (template:35,64-65):
