@@ -166,8 +166,34 @@ def fit_preview(hists, counts, black: int, white: int) -> list:
 # -------------------------------------------------------- device-side apply
 
 
-@functools.partial(jax.jit, static_argnums=(5, 6))
+def _use_preview_pallas() -> bool:
+    import os
+
+    mode = os.environ.get("MLVFS_TPU_PREVIEW_PALLAS", "auto")
+    if mode == "0":
+        return False
+    if mode == "1":
+        return True
+    return jax.default_backend() == "tpu"
+
+
 def apply_preview(imgs, a, b, shadow, dark_row_start, black: int, white: int):
+    """Row transform + 16-bit shift (hdr.c:185-224).
+
+    On TPU the pass runs as a VMEM-resident Pallas kernel
+    (ops/dualiso_preview_pallas.py, gated bit-identical); the lax.scan
+    form below stays as the CPU path and the parity anchor."""
+    if _use_preview_pallas():
+        from .dualiso_preview_pallas import apply_preview_pallas
+
+        return apply_preview_pallas(
+            imgs, a, b, shadow, dark_row_start, int(black), int(white)
+        )
+    return apply_preview_xla(imgs, a, b, shadow, dark_row_start, black, white)
+
+
+@functools.partial(jax.jit, static_argnums=(5, 6))
+def apply_preview_xla(imgs, a, b, shadow, dark_row_start, black: int, white: int):
     """Row transform + 16-bit shift (hdr.c:185-224), exact row ordering.
 
     Rows are processed top to bottom; a row may read the already-transformed
