@@ -216,6 +216,7 @@ def cmd_mount(args) -> int:
         args.mlv_dir or args.input,
         config=config_from_args(args),
         fuse_args=args.fuse_opts or (),
+        port=0 if args.no_gui else int(args.port),
     )
 
 
@@ -267,6 +268,11 @@ def main(argv=None) -> int:
     p_mount.add_argument("--mlv_dir", "--mlv-dir", dest="mlv_dir")
     p_mount.add_argument("-O", "--fuse-opt", dest="fuse_opts", action="append",
                          help="extra option passed through to FUSE (repeatable)")
+    p_mount.add_argument("--port", default="8000",
+                         help="dashboard port served alongside the mount "
+                              "(reference behavior, main.c:1996); 0 disables")
+    p_mount.add_argument("--no-gui", action="store_true",
+                         help="do not start the dashboard with the mount")
     _add_processing_flags(p_mount)
     p_mount.set_defaults(func=cmd_mount)
 

@@ -386,8 +386,14 @@ class MLVFSMount:
 
 
 def mount(mountpoint: str, mlv_dir: str, config: ProcessingConfig = None,
-          foreground: bool = True, fuse_args=()) -> int:
+          foreground: bool = True, fuse_args=(), port: int = 8000,
+          gui_host: str = "127.0.0.1") -> int:
     """Mount an MLV directory. Blocks until unmounted (fusermount -u).
+
+    Like the reference (main.c:1996-1998), the web dashboard starts
+    alongside the mount — over the SAME VirtualFS, so /set_value changes
+    what the mounted DNGs contain on the next read. ``port=0`` disables it;
+    a busy port warns and mounts anyway (the GUI is auxiliary).
 
     Single-threaded (-s): every callback runs under the GIL anyway, and the
     reference documents -s as the safe mode (README.md:22-24). Concurrency
@@ -404,14 +410,28 @@ def mount(mountpoint: str, mlv_dir: str, config: ProcessingConfig = None,
     ops = bridge.operations()
     lib = load_libfuse()
 
+    gui = None
+    if port:
+        try:
+            from .server import start_dashboard
+
+            gui = start_dashboard(vfs, port=int(port), host=gui_host)
+            print(f"mlvfs-tpu dashboard on http://{gui_host}:{port}/")
+        except OSError as e:
+            print(f"dashboard not started ({e}); mount continues", file=sys.stderr)
+
     argv_list = [b"mlvfs-tpu", os.fsencode(mountpoint), b"-s"]
     if foreground:
         argv_list.append(b"-f")
     argv_list += [os.fsencode(a) for a in fuse_args]
     argv = (p_char * len(argv_list))(*argv_list)
-    return lib.fuse_main_real(
-        len(argv_list), argv, ctypes.byref(ops), ctypes.sizeof(ops), None
-    )
+    try:
+        return lib.fuse_main_real(
+            len(argv_list), argv, ctypes.byref(ops), ctypes.sizeof(ops), None
+        )
+    finally:
+        if gui is not None:
+            gui.shutdown()
 
 
 def main(argv=None) -> int:
@@ -421,8 +441,15 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="mlvfs-tpu mount")
     p.add_argument("mountpoint")
     p.add_argument("--mlv_dir", "--mlv-dir", dest="mlv_dir", required=True)
+    p.add_argument("--port", default="8000")
+    p.add_argument("--no-gui", action="store_true")
     args, rest = p.parse_known_args(argv)
-    return mount(args.mountpoint, args.mlv_dir, fuse_args=rest)
+    return mount(
+        args.mountpoint,
+        args.mlv_dir,
+        fuse_args=rest,
+        port=0 if args.no_gui else int(args.port),
+    )
 
 
 if __name__ == "__main__":

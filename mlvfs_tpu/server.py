@@ -65,8 +65,16 @@ td, th {{ border: 1px solid #999; padding: 4px 10px; }}
 
 
 class Dashboard:
-    def __init__(self, mlv_dir: str, config: ProcessingConfig = None):
-        self.vfs = VirtualFS(mlv_dir, config or ProcessingConfig(batch_size=1))
+    def __init__(self, mlv_dir: str = None, config: ProcessingConfig = None,
+                 vfs: VirtualFS = None):
+        """Over its own VirtualFS, or (``vfs=``) sharing an existing one —
+        the reference runs the webgui against the same live state the FUSE
+        mount serves from (webgui.c:410-416), so /set_value changes what
+        the mounted DNGs contain."""
+        if vfs is not None:
+            self.vfs = vfs
+        else:
+            self.vfs = VirtualFS(mlv_dir, config or ProcessingConfig(batch_size=1))
         self._lock = threading.Lock()
 
     @property
@@ -180,6 +188,19 @@ def make_handler(dash: Dashboard):
                 self._send(500, f"error: {html.escape(str(exc))}")
 
     return Handler
+
+
+def start_dashboard(vfs: VirtualFS, port: int = 8000, host: str = "127.0.0.1"):
+    """webgui_start equivalent (webgui.c:395-416): run the dashboard in a
+    daemon thread over an existing VirtualFS. Returns the HTTP server;
+    call ``.shutdown()`` to stop it (webgui_stop)."""
+    dash = Dashboard(vfs=vfs)
+    server = ThreadingHTTPServer((host, port), make_handler(dash))
+    t = threading.Thread(
+        target=server.serve_forever, daemon=True, name="mlvfs-dashboard"
+    )
+    t.start()
+    return server
 
 
 def serve(mlv_dir: str, port: int = 8000, config: ProcessingConfig = None,

@@ -168,6 +168,64 @@ def test_fuse_mount_roundtrip(fuse_mount, mlv_dir, tmp_path):
         open(os.path.join(clip_dir, "M01-0001_000000.dng"), "w")
 
 
+def test_mount_serves_live_dashboard(mlv_dir, tmp_path):
+    """The mount starts the web GUI over the SAME VirtualFS (reference:
+    webgui_start alongside fuse_main, main.c:1996-1998), so /set_value
+    changes what the mounted DNGs contain on the next read."""
+    import json
+    import socket
+    import urllib.request
+
+    from mlvfs_tpu.mount import fuse_available
+
+    if not fuse_available():
+        pytest.skip("libfuse2 / /dev/fuse not available")
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    mnt = str(tmp_path / "mnt")
+    os.mkdir(mnt)
+    env = {
+        k: v for k, v in os.environ.items()
+        if not (k.startswith(("AXON_", "PALLAS_AXON", "TPU_"))
+                or k in ("PYTHONPATH", "MLVFS_TPU_TEST_ON_TPU"))
+    }
+    env["JAX_PLATFORMS"] = "cpu"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "mlvfs_tpu.mount", mnt,
+         f"--mlv-dir={mlv_dir}", "--port", str(port)],
+        env=env, cwd=repo,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+    )
+    try:
+        if not _wait_mounted(mnt, proc):
+            try:
+                out = proc.communicate(timeout=5)[0]
+            except subprocess.TimeoutExpired:
+                proc.kill()
+                out = proc.communicate()[0]
+            pytest.skip(f"FUSE mount unavailable in this sandbox: {out[-500:]}")
+        base = f"http://127.0.0.1:{port}"
+        vals = json.loads(urllib.request.urlopen(f"{base}/get_value").read())
+        assert vals["chroma_smooth"] == 0
+        dng = os.path.join(mnt, "M01-0001.MLV", "M01-0001_000000.dng")
+        before = open(dng, "rb").read()
+        # fps override rewrites the DNG FrameRate tag on the next read
+        assert urllib.request.urlopen(f"{base}/set_value?fps=48").status == 200
+        after = open(dng, "rb").read()
+        assert before[:65536] != after[:65536], "header must reflect new fps"
+        assert before[65536:] == after[65536:], "payload untouched by fps"
+    finally:
+        subprocess.run(["fusermount", "-u", mnt], capture_output=True)
+        try:
+            proc.wait(timeout=15)
+        except subprocess.TimeoutExpired:
+            proc.terminate()
+            proc.wait(timeout=15)
+
+
 # ---------------------------------------------------------------------------
 # batch readahead (VERDICT r2 #5: the mount rides the batch engine)
 
