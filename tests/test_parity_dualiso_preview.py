@@ -138,15 +138,23 @@ def test_preview_fit_device_small_geometry_and_mixed_batch(tmp_path):
             assert abs(int(shadow[i]) - f.shadow) <= 1, (shadow[i], f.shadow)
 
 
-@pytest.mark.parametrize("h,w", [(96, 320), (130, 256), (960, 1280)])
-def test_apply_preview_pallas_matches_xla(h, w):
+@pytest.mark.parametrize(
+    "h,w,B",
+    [
+        (96, 320, 4),
+        (130, 256, 4),
+        (960, 1280, 4),
+        (128, 256, 1),   # exact chunk multiple; single-frame batch
+        (256, 384, 3),   # chunk boundary falls mid-parity-pair carry
+    ],
+)
+def test_apply_preview_pallas_matches_xla(h, w, B):
     """The VMEM Pallas row kernel must be bit-identical to the lax.scan
     form across drs phases, overexposure chains, shadow replacement, and
     non-multiple-of-chunk heights."""
     from mlvfs_tpu.ops.dualiso_preview_pallas import apply_preview_pallas
 
     rng = np.random.default_rng(31)
-    B = 4
     black, white = 2048, 15000
     imgs = rng.integers(0, 1 << 14, (B, h, w), dtype=np.uint16)
     # force long replacement chains: a band of overexposed pixels and a
