@@ -37,7 +37,13 @@ from .chroma_smooth import _offsets
 
 import numpy as np
 
-R_SUB = int(os.environ.get("MLVFS_TPU_CS_RSUB", "32"))
+# 216 = 5 chunks at 1080p: the r3 sweep (tools/profile_cs_rsub.py and the
+# post-roll-factoring re-sweep) measures monotone gains to here — ms/frame
+# at 1080p B=8 for RSUB 32/64/128/216: cs2x2 .60/.48/.45/.43, cs3x3
+# .54/.48/.48/.45, cs5x5 .74/.66/.64/.63; 540 fails to compile cs5x5
+# (VMEM), so 216 is the largest safe default. 8-multiple keeps sublane
+# alignment; chunk apron recompute shrinks with chunk count.
+R_SUB = int(os.environ.get("MLVFS_TPU_CS_RSUB", "216"))
 # default on: measured cs2x2 0.89 -> 0.50 ms/frame (Mosaic generates the
 # double-single EV chain ~2x slower inside the method-2 kernel than XLA
 # does frame-wide), cs3x3/cs5x5 unchanged (saved apron recompute offsets
