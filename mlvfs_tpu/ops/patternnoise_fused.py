@@ -282,26 +282,36 @@ def fix_column_noise_interleaved(orig, denoised, white, h, w):
     iters = int(_math.ceil(_math.log2(hi0 - lo0 + 1)))
     h2 = h // 2
 
-    offs_rows = []
-    for parity in (0, 1):
-        pmask = rows_even if parity == 0 else ~rows_even
-        pvalid = valid & pmask
-        num = jnp.sum(pvalid.astype(jnp.int32), axis=0)
-        k = jnp.clip(_wirth_k_j(num), 0, h2 - 1)
-        # sentinel-fold the mask once (as in the blur kernel)
-        nv = jnp.where(pvalid, noise, _SENTINEL)
-        lov = jnp.full((w,), lo0, jnp.int32)
-        hiv = jnp.full((w,), hi0, jnp.int32)
-        for _ in range(iters):
-            mid = (lov + hiv) >> 1
-            cnt = jnp.sum((nv <= mid[None, :]).astype(jnp.int32), axis=0)
-            take = cnt >= k + 1
-            hiv = jnp.where(take, mid, hiv)
-            lov = jnp.where(take, lov, mid + 1)
-        med = lov
-        offs_rows.append(jnp.where(num < 10, 0, -med))
-
-    offsets = jnp.stack(offs_rows)  # (2, w): per (row parity, lane)
+    # Both row-parity medians bisect together: one read of the sentinel-
+    # folded noise per iteration (a parity-selected mid plane + two masked
+    # counts) instead of a separate 19-pass loop per parity — halves the
+    # stage's HBM traffic. Counts match the per-parity loops exactly: the
+    # off-parity rows the old loops folded to _SENTINEL (never <= mid) are
+    # excluded here by the same parity mask.
+    nv = jnp.where(valid, noise, _SENTINEL)
+    num = jnp.stack(
+        [
+            jnp.sum((valid & rows_even).astype(jnp.int32), axis=0),
+            jnp.sum((valid & ~rows_even).astype(jnp.int32), axis=0),
+        ]
+    )  # (2, w)
+    k = jnp.clip(_wirth_k_j(num), 0, h2 - 1)
+    lov = jnp.full((2, w), lo0, jnp.int32)
+    hiv = jnp.full((2, w), hi0, jnp.int32)
+    for _ in range(iters):
+        mid = (lov + hiv) >> 1
+        mid_full = jnp.where(rows_even, mid[0][None, :], mid[1][None, :])
+        le = nv <= mid_full
+        cnt = jnp.stack(
+            [
+                jnp.sum((le & rows_even).astype(jnp.int32), axis=0),
+                jnp.sum((le & ~rows_even).astype(jnp.int32), axis=0),
+            ]
+        )
+        take = cnt >= k + 1
+        hiv = jnp.where(take, mid, hiv)
+        lov = jnp.where(take, lov, mid + 1)
+    offsets = jnp.where(num < 10, 0, -lov)  # (2, w): per (row parity, lane)
     off_full = jnp.where(rows_even, offsets[0][None, :], offsets[1][None, :])
     applied = jnp.clip(orig + off_full, -32767, 32767)
 
