@@ -284,7 +284,7 @@ def fix_column_noise_interleaved(orig, denoised, white, h, w):
 
     # Both row-parity medians bisect together: one read of the sentinel-
     # folded noise per iteration (a parity-selected mid plane + two masked
-    # counts) instead of a separate 19-pass loop per parity — halves the
+    # counts) instead of a separate iters-pass loop per parity — halves the
     # stage's HBM traffic. Counts match the per-parity loops exactly: the
     # off-parity rows the old loops folded to _SENTINEL (never <= mid) are
     # excluded here by the same parity mask.

@@ -1,0 +1,96 @@
+"""Cross-checks the perf tables in BASELINE.md and PARITY.md.
+
+Round-3 verdict: the chroma row drifted between the two documents
+(0.55/0.75 vs 0.57/0.76). BASELINE.md's measured table is the single
+source of truth for per-op numbers; this test re-reads both documents and
+fails if a PARITY claim stops matching its BASELINE anchor, so the tables
+cannot silently diverge again.
+"""
+
+import os
+import re
+
+import pytest
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _read(name):
+    with open(os.path.join(ROOT, name)) as f:
+        return f.read()
+
+
+@pytest.fixture(scope="module")
+def baseline_rows():
+    """Parse BASELINE.md's measured-wall-clock table into {op: (c, tpu, speedup)}."""
+    text = _read("BASELINE.md")
+    rows = {}
+    in_table = False
+    for line in text.splitlines():
+        if line.startswith("| Op (1080p unless noted)"):
+            in_table = True
+            continue
+        if in_table:
+            if not line.startswith("|"):
+                break
+            cells = [c.strip() for c in line.strip("|").split("|")]
+            if len(cells) >= 4 and not set(cells[0]) <= {"-", " "}:
+                rows[cells[0]] = tuple(cells[1:4])
+    assert rows, "BASELINE.md measured table not found"
+    return rows
+
+
+@pytest.fixture(scope="module")
+def parity():
+    return _read("PARITY.md")
+
+
+def _num(cell):
+    m = re.search(r"[\d.]+", cell)
+    assert m, cell
+    return float(m.group())
+
+
+def test_chroma_row_matches(baseline_rows, parity):
+    c = [_num(baseline_rows[f"chroma smooth {k} †"][0]) for k in ("2x2", "3x3", "5x5")]
+    tpu = [_num(baseline_rows[f"chroma smooth {k} †"][1]) for k in ("2x2", "3x3", "5x5")]
+    spd = [_num(baseline_rows[f"chroma smooth {k} †"][2]) for k in ("2x2", "3x3", "5x5")]
+    m = re.search(
+        r"\*\*([\d.]+)/([\d.]+)/([\d.]+) ms/frame\*\* at 1080p[^|]*?"
+        r"vs ([\d.]+)/([\d.]+)/([\d.]+) ms single-core[^|]*?"
+        r"= ([\d.]+)x/([\d.]+)x/([\d.]+)x",
+        parity,
+    )
+    assert m, "PARITY.md chroma perf claim not found"
+    assert [float(m.group(i)) for i in (1, 2, 3)] == tpu
+    assert [float(m.group(i)) for i in (4, 5, 6)] == c
+    assert [float(m.group(i)) for i in (7, 8, 9)] == spd
+
+
+def test_patternnoise_row_matches(baseline_rows, parity):
+    c, tpu, spd = (_num(x) for x in baseline_rows["pattern noise †"])
+    m = re.search(
+        r"\*\*([\d.]+) ms/frame\*\* at 1080p on v5e vs ([\d.]+) ms single-core"
+        r" reference C = ([\d.]+)x",
+        parity,
+    )
+    assert m, "PARITY.md pattern-noise perf claim not found"
+    assert (float(m.group(1)), float(m.group(2)), float(m.group(3))) == (tpu, c, spd)
+
+
+def test_stripes_row_matches(baseline_rows, parity):
+    c_apply = _num(baseline_rows["stripes apply (per frame) †"][0])
+    tpu_apply = _num(baseline_rows["stripes apply (per frame) †"][1])
+    m = re.search(r"apply ([\d.]+) ms/frame vs our ([\d.]+)", parity)
+    assert m, "PARITY.md stripes perf claim not found"
+    assert (float(m.group(1)), float(m.group(2))) == (c_apply, tpu_apply)
+
+
+def test_dualiso_full_path_matches(baseline_rows, parity):
+    """The flagship-path numbers: PARITY's honest-full-path claim must match
+    BASELINE's 1280x960 full-path row (same measurement)."""
+    tpu = _num(baseline_rows["cr2hdr20 amaze-edge 1280×960 **full path** (analysis + reconstruction, steady state)"][1])
+    spd = _num(baseline_rows["cr2hdr20 amaze-edge 1280×960 **full path** (analysis + reconstruction, steady state)"][2])
+    m = re.search(r"([\d.]+) ms/frame for the honest full path incl\. per-clip analysis = ([\d.]+)x", parity)
+    assert m, "PARITY.md dual-ISO full-path claim not found"
+    assert (float(m.group(1)), float(m.group(2))) == (tpu, spd)
