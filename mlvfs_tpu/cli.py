@@ -85,6 +85,7 @@ def config_from_args(args) -> ProcessingConfig:
         compress="lj92" if getattr(args, "compress_dng", False) else "none",
         shard_devices=getattr(args, "devices", 0),
         resume=getattr(args, "resume", False),
+        export_all=getattr(args, "all", False),
         stripes_batch_cal=getattr(args, "stripes_batch_cal", False),
     )
 
@@ -130,7 +131,7 @@ def cmd_convert(args) -> int:
         except OSError as e:
             print(f"error: failed converting {base}: {e}", file=sys.stderr)
             return 1
-        total_frames += len(paths)
+        total_frames += sum(1 for p in paths if p.endswith(".dng"))
     dt = time.time() - t0
     print(f"done: {total_frames} frames in {dt:.2f}s ({total_frames / max(dt, 1e-9):.1f} fps)")
     if getattr(args, "verbose", False):
@@ -229,6 +230,10 @@ def main(argv=None) -> int:
     p_conv.add_argument("input", nargs="?", help="MLV file or directory")
     p_conv.add_argument("--mlv_dir", "--mlv-dir", dest="mlv_dir", help="Directory containing MLV files")
     p_conv.add_argument("-o", "--output", required=True, help="Output directory")
+    p_conv.add_argument(
+        "--all", action="store_true",
+        help="Also write the clip's .wav (when audio), .log and _PREVIEW.gif "
+             "next to the DNGs (the reference's virtual directory contents)")
     _add_processing_flags(p_conv)
     p_conv.set_defaults(func=cmd_convert)
 

@@ -37,6 +37,9 @@ class ProcessingConfig:
     #                           instead of computed log2/exp2 (faster on TPU)
     shard_devices: int = 0  # >1: shard the frame batch over this many devices
     resume: bool = False  # skip frames whose DNG already exists (restartable)
+    export_all: bool = False  # convert --all: also write the .wav/.log/
+    #   _PREVIEW.gif sidecars next to the DNGs, matching the reference's
+    #   virtual clip directory contents (main.c:1308-1320)
     stripes_batch_cal: bool = False  # stripe gains from the whole (sharded)
     #   first batch via device bisection medians + mesh all-reduces, instead
     #   of the reference's host frame-0 analysis (more robust, not bit-parity)

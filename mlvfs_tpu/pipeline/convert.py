@@ -354,7 +354,39 @@ class ClipConverter:
             from . import calibration
 
             calibration.save_from(self._calibration, clip.path, clip.guid, cfg)
+        if cfg.export_all:
+            paths.extend(self.write_sidecars(outdir, basename))
         return sorted(paths)
+
+    def write_sidecars(self, outdir: str, basename: str):
+        """Write the clip's non-DNG virtual-directory entries next to the DNGs.
+
+        One-invocation export parity with the reference's virtual clip
+        directory (main.c:1308-1320): <base>.wav when the clip has audio,
+        <base>.log (camera debug log, may be empty), <base>_PREVIEW.gif.
+        """
+        from ..emit.gif import FRAME_COUNT, build_gif
+        from ..emit.wav import build_wav
+
+        clip = self.clip
+        written = []
+        if clip.has_audio:
+            p = os.path.join(outdir, basename + ".wav")
+            with open(p, "wb") as f:
+                f.write(build_wav(clip))
+            written.append(p)
+        p = os.path.join(outdir, basename + ".log")
+        with open(p, "w") as f:
+            f.write(clip.debug_log())
+        written.append(p)
+        frame_ids = [i * clip.frame_count // FRAME_COUNT for i in range(FRAME_COUNT)]
+        batch = np.asarray(jax.device_get(self.decode_batch(frame_ids)))
+        decoded = {i: batch[bi] for bi, i in enumerate(frame_ids)}
+        p = os.path.join(outdir, basename + "_PREVIEW.gif")
+        with open(p, "wb") as f:
+            f.write(build_gif(clip, decode_fn=decoded.__getitem__))
+        written.append(p)
+        return written
 
     def _finish_batch(self, outdir, basename, indices, imgs, info):
         """Write-pool task: pull the batch to host and write its DNGs.

@@ -349,3 +349,38 @@ def test_gather_buffer_ring_concurrent_distinct(tmp_path):
             assert len(conv._buf_ring) <= cfg.prefetch + 1
         finally:
             conv.close()
+
+
+def test_convert_all_matches_virtual_directory(tmp_path):
+    """convert --all writes exactly the reference's virtual clip directory
+    contents (DNGs + .wav + .log + _PREVIEW.gif, main.c:1308-1320): the
+    output file set equals VirtualFS.listdir for the same clip."""
+    from mlvfs_tpu.cli import main
+    from mlvfs_tpu.vfs import VirtualFS
+
+    mlv_dir = tmp_path / "clips"
+    mlv_dir.mkdir()
+    src = str(mlv_dir / "SIDE.MLV")
+    synth.write_mlv(src, width=128, height=32, frames=4, audio=True, debug_log="dbg\n")
+    outdir = str(tmp_path / "out")
+    assert main(["convert", src, "-o", outdir, "--all"]) == 0
+
+    virtual = set(VirtualFS(str(mlv_dir)).listdir("/SIDE.MLV"))
+    assert set(os.listdir(outdir)) == virtual
+    assert {"SIDE.wav", "SIDE.log", "SIDE_PREVIEW.gif"} <= virtual
+    assert os.path.getsize(os.path.join(outdir, "SIDE_PREVIEW.gif")) > 0
+    with open(os.path.join(outdir, "SIDE.wav"), "rb") as f:
+        assert f.read(4) == b"RIFF"
+
+
+def test_convert_all_no_audio(tmp_path):
+    """Clips without audio get no .wav — same as the virtual directory."""
+    src = str(tmp_path / "NOAUD.MLV")
+    synth.write_mlv(src, width=128, height=32, frames=2)
+    outdir = str(tmp_path / "out")
+    from mlvfs_tpu.pipeline.config import ProcessingConfig as PC
+
+    paths = convert_clip(src, outdir, PC(export_all=True, batch_size=2))
+    names = {os.path.basename(p) for p in paths}
+    assert "NOAUD.wav" not in names
+    assert {"NOAUD.log", "NOAUD_PREVIEW.gif"} <= names
