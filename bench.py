@@ -133,6 +133,52 @@ def main():
         except Exception as e:  # the headline number must survive regardless
             extra["pipeline_error"] = str(e)[:200]
 
+        # third recorded number: the flagship quality path — full dual-ISO
+        # cr2hdr20 amaze-edge (device analysis + reconstruction, per-clip
+        # caches warm) at 1080p, engine-default batch 16. This is the
+        # BASELINE >=10x gate's subject (364.1 ms/frame single-core C);
+        # recording it here makes regressions visible in the round record
+        # instead of only in PARITY prose.
+        try:
+            import types
+
+            from mlvfs_tpu.ops import dualiso_full as dif
+            from mlvfs_tpu.pipeline.config import ProcessingConfig
+
+            di_b = 16
+            di_spec = synth.SynthSpec(width=width, height=height, frames=1, dual_iso=3, seed=3)
+            di_frame = synth.make_frame_data(di_spec, np.random.default_rng(3))
+            di_imgs = jax.device_put(
+                np.ascontiguousarray(np.broadcast_to(di_frame, (di_b, height, width)))
+            )
+            fh = types.SimpleNamespace(
+                raw_info=types.SimpleNamespace(
+                    black_level=di_spec.black, white_level=di_spec.white, bits_per_pixel=14
+                ),
+                vidf={"panPosX": 0, "panPosY": 0},
+                idnt={"cameraModel": 0x80000285},
+            )
+            cal = types.SimpleNamespace(focus_pixel_list=None, dual_iso_rggb=None)
+            di_cfg = ProcessingConfig(dual_iso=2, hdr_interpolation_method=0)
+            out, okm = dif.cr2hdr20_batch(di_imgs, fh, di_cfg, cal)  # warm + cal caches
+            np.asarray(out[:, ::256, ::256])
+            assert bool(np.asarray(okm).all()), "dual-ISO analysis rejected the bench frame"
+            nd = 6
+
+            def one_rep_d():
+                t0 = time.perf_counter()
+                for _ in range(nd):
+                    o, _ok = dif.cr2hdr20_batch(di_imgs, fh, di_cfg, cal)
+                    np.asarray(o[:, ::256, ::256])  # chain: forces execution
+                return di_b * nd / (time.perf_counter() - t0)
+
+            di_fps = max(one_rep_d() for _ in range(3))
+            extra["dualiso_fps"] = round(di_fps, 2)
+            extra["dualiso_ms_per_frame"] = round(1000.0 / di_fps, 2)
+            extra["dualiso_ops"] = "cr2hdr20 amaze-edge full path (analysis+reconstruction), 1080p batch 16"
+        except Exception as e:
+            extra["dualiso_error"] = str(e)[:200]
+
         print(
             json.dumps(
                 {
