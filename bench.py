@@ -61,8 +61,19 @@ def main():
         fps = _bench_e2e(frame, spec)
         metric = "1080p_14bit_raw_to_dng_e2e_fps_via_relay"
     elif os.environ.get("BENCH_MODE") == "host":
-        fps = _bench_host(frame, spec)
-        metric = "1080p_14bit_host_pipeline_fps"
+        reps = _bench_host(frame, spec)
+        print(
+            json.dumps(
+                {
+                    "metric": "1080p_14bit_host_pipeline_fps",
+                    "value": round(reps["median"], 2),
+                    "unit": "frames/sec",
+                    "vs_baseline": round(reps["median"] / 500.0, 3),
+                    "best_rep": round(reps["best"], 2),
+                }
+            )
+        )
+        return
     elif os.environ.get("BENCH_MODE") in ("lj92", "lzma"):
         comp = os.environ["BENCH_MODE"]
         fps = _bench_compressed(frame, spec, comp)
@@ -206,12 +217,15 @@ def main():
 
 def _bench_host(frame, spec):
     """Host-side pipeline at rate, device compute elided: disk → packed
-    gather → header template render → DNG file writes (/dev/shm).
+    frame views (zero-copy off the chunk memmaps) → header template render
+    → DNG file writes (/dev/shm).
 
     This is the relay-independent complement to the device-kernel number:
     it proves the host side sustains the >500 f/s target (VERDICT r1 asked
     for the _finish_batch path to be demonstrated at rate, not asserted).
+    Reports the median of 5 reps (the sustained number) and the best rep.
     """
+    import statistics
     import tempfile
     import time as _time
 
@@ -233,14 +247,14 @@ def _bench_host(frame, spec):
     info = {"black_level": 2048, "white_level": 15000, "exposure_bias": None}
     batches = [list(range(i, i + batch)) for i in range(0, frames, batch)]
     # warm (template build, fpm load, page cache)
-    conv._gather_packed_batch(batches[0])
+    conv._gather_packed_views(batches[0])
     conv._finish_batch(outdir, "BENCH", batches[0], imgs_np, info)
 
     def one_rep():
         t0 = _time.perf_counter()
         pending = []
         for indices in batches:
-            conv._gather_packed_batch(indices)
+            conv._gather_packed_views(indices)
             pending.append(
                 conv._write_pool.submit(conv._finish_batch, outdir, "BENCH", indices, imgs_np, info)
             )
@@ -248,15 +262,15 @@ def _bench_host(frame, spec):
             fut.result()
         return frames / (_time.perf_counter() - t0)
 
-    # best of 3: this 1-CPU container shares its host, and a noisy-neighbor
-    # stall inside a single rep shows up as a 20-30% throughput dip; the max
-    # is the sustained capability of the code under test
-    fps = max(one_rep() for _ in range(3))
+    # median of 5 on this shared 1-CPU container (a noisy-neighbor stall
+    # inside a single rep shows up as a 20-30% throughput dip); the best rep
+    # is also reported as the sustained capability of the code under test
+    reps = sorted(one_rep() for _ in range(5))
     conv.close()
     import shutil
 
     shutil.rmtree(tmp, ignore_errors=True)
-    return fps
+    return {"median": statistics.median(reps), "best": reps[-1]}
 
 
 def _bench_compressed(frame, spec, comp):
