@@ -118,8 +118,18 @@ def _unpack_batch_pallas(words: jnp.ndarray, bpp: int, height: int, width: int) 
     layout giving the transpose a fat minor dim (8.0 ms); (f) bitcasting
     word pairs to u32 to halve transposed elements (7.8 ms — the u16→u32
     bitcast is itself a minor-dim relayout on TPU, ~6.5 ms standalone;
-    both in tools/profile_unpack9.py). The planar transpose + fused-shift
-    kernel below remains the fastest known formulation.
+    both in tools/profile_unpack9.py); (g) doing the relayout on the HOST
+    during the gather and handing the kernel its preferred planar layout
+    (tools/profile_unpack10.py): the kernel alone then runs 12.3k f/s at
+    B=32 / 17.0k at B=128 (vs 5.1k/10.0k full path — confirming the input
+    relayout is the entire roofline gap), but producing that layout costs
+    the host 1.3-3.2 ms/frame with numpy (0.27-0.74 ms/frame even at the
+    pure-memcpy floor, quiet vs loaded shared host) against the
+    ~0.04-0.13 ms/frame of device transpose it removes — a >6x net system
+    loss per host core, and it would reintroduce the host payload copy
+    that the zero-copy gather (_gather_packed_views) eliminated to put the
+    host leg over its 500 f/s target. The planar transpose + fused-shift
+    kernel below remains the fastest known formulation end to end.
     """
     import functools
 
