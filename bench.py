@@ -70,6 +70,9 @@ def main():
                     "unit": "frames/sec",
                     "vs_baseline": round(reps["median"] / 500.0, 3),
                     "best_rep": round(reps["best"], 2),
+                    # staged-gather bracket: see _bench_host's scope note
+                    "staged_median": round(reps["staged_median"], 2),
+                    "staged_best": round(reps["staged_best"], 2),
                 }
             )
         )
@@ -224,6 +227,18 @@ def _bench_host(frame, spec):
     it proves the host side sustains the >500 f/s target (VERDICT r1 asked
     for the _finish_batch path to be demonstrated at rate, not asserted).
     Reports the median of 5 reps (the sustained number) and the best rep.
+
+    Scope note (honest-numbers): the headline deliberately excludes the
+    jax.device_put submissions the real fetch path issues (_put_views) —
+    on this rig they can only be timed through a ~15 MB/s network relay
+    (unrepresentative of the production PCIe DMA path) or under CPU-JAX
+    (which charges a full payload memcpy the production runtime performs
+    on its transfer thread, off this critical path). To bracket what that
+    exclusion could hide, ``staged`` re-runs the identical loop with the
+    pre-r4 staged gather (_gather_packed_batch: one explicit host payload
+    copy per frame — the upper bound if the runtime's staging copy ever
+    lands back on the host critical path). The true sustainable host leg
+    lies between ``staged`` and ``median``.
     """
     import statistics
     import tempfile
@@ -250,11 +265,11 @@ def _bench_host(frame, spec):
     conv._gather_packed_views(batches[0])
     conv._finish_batch(outdir, "BENCH", batches[0], imgs_np, info)
 
-    def one_rep():
+    def one_rep(gather):
         t0 = _time.perf_counter()
         pending = []
         for indices in batches:
-            conv._gather_packed_views(indices)
+            gather(indices)
             pending.append(
                 conv._write_pool.submit(conv._finish_batch, outdir, "BENCH", indices, imgs_np, info)
             )
@@ -265,12 +280,18 @@ def _bench_host(frame, spec):
     # median of 5 on this shared 1-CPU container (a noisy-neighbor stall
     # inside a single rep shows up as a 20-30% throughput dip); the best rep
     # is also reported as the sustained capability of the code under test
-    reps = sorted(one_rep() for _ in range(5))
+    reps = sorted(one_rep(conv._gather_packed_views) for _ in range(5))
+    staged = sorted(one_rep(conv._gather_packed_batch) for _ in range(5))
     conv.close()
     import shutil
 
     shutil.rmtree(tmp, ignore_errors=True)
-    return {"median": statistics.median(reps), "best": reps[-1]}
+    return {
+        "median": statistics.median(reps),
+        "best": reps[-1],
+        "staged_median": statistics.median(staged),
+        "staged_best": staged[-1],
+    }
 
 
 def _bench_compressed(frame, spec, comp):

@@ -32,6 +32,13 @@ _HEADER_SIZE = 13 + COLOR_TABLE_SIZE
 _IMAGE_DESC_SIZE = 11
 
 
+def gif_frame_ids(frame_count: int) -> list:
+    """The preview's evenly-spaced source-frame indices (gif.c:186 map,
+    ``frame_idx = g * frame_count / FRAME_COUNT``). Single source of truth
+    for callers that pre-decode the sampled frames for ``build_gif``."""
+    return [g * frame_count // FRAME_COUNT for g in range(FRAME_COUNT)]
+
+
 def gif_size(xres: int, yres: int) -> int:
     """Exact output size (gif_get_size, gif.c:222-234)."""
     width, height = xres // DOWNSCALE, yres // DOWNSCALE
@@ -78,7 +85,13 @@ def build_gif(clip, decode_fn=None) -> bytes:
 
     ``decode_fn(frame_index) -> (H, W) uint16`` lets the caller supply the
     device decode path; defaults to the pipeline's batch decoder.
+
+    A clip with no video frames yields an empty preview, matching the
+    reference: create_preview's mlv_get_frame_headers(path, 0) fails there,
+    leaving the virtual _PREVIEW.gif zero-sized (main.c:1016-1023).
     """
+    if clip.frame_count == 0:
+        return b""
     fh = clip.frame_headers(0)
     xres, yres = fh.xres, fh.yres
     width, height = xres // DOWNSCALE, yres // DOWNSCALE
@@ -89,7 +102,7 @@ def build_gif(clip, decode_fn=None) -> bytes:
         from ..pipeline.convert import ClipConverter
 
         conv = ClipConverter(clip)
-        frame_ids = [i * clip.frame_count // FRAME_COUNT for i in range(FRAME_COUNT)]
+        frame_ids = gif_frame_ids(clip.frame_count)
         batch = np.asarray(conv.decode_batch(frame_ids))
         decoded = {i: batch[bi] for bi, i in enumerate(frame_ids)}
         decode_fn = decoded.__getitem__
@@ -105,8 +118,7 @@ def build_gif(clip, decode_fn=None) -> bytes:
     out += _ANIMATION_APP_BLOCK
 
     image_descriptor = struct.pack("<BHHHHBB", 0x2C, 0, 0, width, height, 0x00, BPP)
-    for g in range(FRAME_COUNT):
-        frame_idx = g * clip.frame_count // FRAME_COUNT
+    for frame_idx in gif_frame_ids(clip.frame_count):
         img = np.asarray(decode_fn(frame_idx))
         # sample the green pixel of every DOWNSCALE x DOWNSCALE cell:
         # image_data[y*4*width*4 + x*4 + 1] (gif.c:187)

@@ -90,7 +90,10 @@ def build_wav(clip, rand_ref: int = None) -> bytes:
     size = wav_size(clip)
     wavi = clip.wavi
     hdr = clip.main_header
-    fh0 = clip.frame_headers(0)
+    # bext needs IDNT/RTCI only; like the reference's wav_get_headers
+    # (wav.c:102-171) this must not require a video frame to exist
+    idnt = clip.meta_block(b"IDNT")
+    rtci = clip.meta_block(b"RTCI")
     if rand_ref is None:
         rand_ref = random.randint(0, 999999999)
 
@@ -114,7 +117,7 @@ def build_wav(clip, rand_ref: int = None) -> bytes:
             b"WAVE",
             b"bext",
             struct.pack("<I", _BEXT_SIZE),
-            _bext(fh0.idnt, fh0.rtci, rand_ref),
+            _bext(idnt, rtci, rand_ref),
             b"iXML",
             struct.pack("<I", 1024),
             ixml,

@@ -225,13 +225,23 @@ class MLVClip:
             end = pos + int(audf["blockSize"])
             yield buf[start:end]
 
+    def meta_block(self, key: bytes) -> np.void:
+        """First snapshot of metadata block ``key`` (e.g. b"RTCI", b"IDNT").
+
+        Frame 0's snapshot when video frames exist; otherwise a direct block
+        scan, like the reference's WAV header gather which never needs a
+        VIDF (wav_get_headers, wav.c:102-171). Empty block if absent.
+        """
+        name, dt = _META_TYPES[key]
+        if self._vidf:
+            return self._vidf[0][2][name]
+        for fno, pos in self._iter_blocks(key):
+            return mlv.parse_block(self.chunks[fno], pos, dt)
+        return mlv.new_block(dt, key)
+
     @property
     def wavi(self):
-        if self._vidf:
-            return self._vidf[0][2]["wavi"]
-        for fno, pos in self._iter_blocks(b"WAVI"):
-            return mlv.parse_block(self.chunks[fno], pos, mlv.WAVI)
-        return mlv.new_block(mlv.WAVI, b"WAVI")
+        return self.meta_block(b"WAVI")
 
     def _iter_blocks(self, wanted: bytes):
         for entry in self.xref:

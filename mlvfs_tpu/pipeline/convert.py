@@ -204,7 +204,21 @@ class ClipConverter:
         """Device-stack per-frame views (see _gather_packed_views): pad the
         batch to the fixed target by repeating the last frame, transfer each
         view (async; the transfer engine reads the mapped pages), and stack
-        on device so every batch lands on the same compiled program."""
+        on device so every batch lands on the same compiled program.
+
+        Trade (vs the staged single transfer kept for the sharded and
+        compressed paths, _put): B transfer submissions + one on-device
+        stack instead of one submission preceded by a ~0.6 ms/frame host
+        payload copy (the measured r3 gather cost this removed). Computed
+        costs of the extra work, not measured on production hardware: the
+        stack is one HBM->HBM batch copy (~116 MB at 1080p/B=16, ~0.14 ms
+        at the v5e's 819 GB/s) plus a transient 2x footprint, and the B-1
+        extra submissions are tens of microseconds each over PCIe — both
+        orders below the host copy they replace. On this rig's ~1.4 ms/
+        dispatch relay the submission overhead is visible, but that leg is
+        relay-bound regardless (see bench.py BENCH_MODE=e2e). The staged
+        path stays selectable through sharding (--devices>1) and is
+        regression-tracked as ``staged_median`` in BENCH_MODE=host."""
         if len(views) < self._batch_target:
             views = list(views) + [views[-1]] * (self._batch_target - len(views))
         return jnp.stack([jax.device_put(v) for v in views])
@@ -339,9 +353,14 @@ class ClipConverter:
         """Convert frames to DNG files in ``outdir``. Returns written paths."""
         os.makedirs(outdir, exist_ok=True)
         clip = self.clip
-        if clip.frame_count == 0:
-            return []
         cfg = self.config
+        if clip.frame_count == 0:
+            # no video frames: still export the virtual-directory sidecars
+            # (the reference lists .wav/.log/_PREVIEW.gif regardless of the
+            # VIDF count, main.c:1306-1320)
+            if cfg.export_all:
+                return sorted(self.write_sidecars(outdir, _mlv_basename(clip.path)))
+            return []
         if cfg.name_scheme == 1:
             basename = resolve_basename(clip.path, self.fh0)
         else:
@@ -404,7 +423,7 @@ class ClipConverter:
         directory (main.c:1308-1320): <base>.wav when the clip has audio,
         <base>.log (camera debug log, may be empty), <base>_PREVIEW.gif.
         """
-        from ..emit.gif import FRAME_COUNT, build_gif
+        from ..emit.gif import build_gif, gif_frame_ids
         from ..emit.wav import build_wav
 
         clip = self.clip
@@ -418,12 +437,16 @@ class ClipConverter:
         with open(p, "w") as f:
             f.write(clip.debug_log())
         written.append(p)
-        frame_ids = [i * clip.frame_count // FRAME_COUNT for i in range(FRAME_COUNT)]
-        batch = np.asarray(jax.device_get(self.decode_batch(frame_ids)))
-        decoded = {i: batch[bi] for bi, i in enumerate(frame_ids)}
+        if clip.frame_count:
+            frame_ids = gif_frame_ids(clip.frame_count)
+            batch = np.asarray(jax.device_get(self.decode_batch(frame_ids)))
+            decoded = {i: batch[bi] for bi, i in enumerate(frame_ids)}
+            gif_bytes = build_gif(clip, decode_fn=decoded.__getitem__)
+        else:
+            gif_bytes = build_gif(clip)  # empty, like the reference's read
         p = os.path.join(outdir, basename + "_PREVIEW.gif")
         with open(p, "wb") as f:
-            f.write(build_gif(clip, decode_fn=decoded.__getitem__))
+            f.write(gif_bytes)
         written.append(p)
         return written
 

@@ -373,6 +373,29 @@ def test_convert_all_matches_virtual_directory(tmp_path):
         assert f.read(4) == b"RIFF"
 
 
+def test_convert_all_frameless_clip(tmp_path):
+    """A clip with zero video frames still exports its sidecars under --all,
+    matching the virtual directory (the reference lists .wav/.log/
+    _PREVIEW.gif regardless of the VIDF count, main.c:1306-1320; its
+    _PREVIEW.gif reads zero-sized there because create_preview's
+    mlv_get_frame_headers(path, 0) fails, main.c:1016-1023)."""
+    from mlvfs_tpu.vfs import VirtualFS
+
+    mlv_dir = tmp_path / "clips"
+    mlv_dir.mkdir()
+    src = str(mlv_dir / "AONLY.MLV")
+    synth.write_mlv(src, width=128, height=32, frames=0, audio=True, debug_log="dbg\n")
+    outdir = str(tmp_path / "out")
+    from mlvfs_tpu.pipeline.config import ProcessingConfig as PC
+
+    paths = convert_clip(src, outdir, PC(export_all=True))
+    names = {os.path.basename(p) for p in paths}
+    virtual = set(VirtualFS(str(mlv_dir)).listdir("/AONLY.MLV"))
+    assert names == set(os.listdir(outdir)) == virtual
+    assert {"AONLY.wav", "AONLY.log", "AONLY_PREVIEW.gif"} <= names
+    assert os.path.getsize(os.path.join(outdir, "AONLY_PREVIEW.gif")) == 0
+
+
 def test_convert_all_no_audio(tmp_path):
     """Clips without audio get no .wav — same as the virtual directory."""
     src = str(tmp_path / "NOAUD.MLV")
