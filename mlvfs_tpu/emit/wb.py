@@ -51,15 +51,23 @@ _KELVIN_FOR_MODE = {
 
 def temperature_to_rgb(t: float) -> np.ndarray:
     """CIE D-illuminant fit (dng.c:288-324)."""
+    # explicit t*t / t*t*t like the C (dng.c:295-307): pow(t, 3) can differ
+    # from the multiply chain in the last ulp
     if t <= 4000:
-        xd = 0.27475e9 / t**3 - 0.98598e6 / t**2 + 1.17444e3 / t + 0.145986
+        xd = 0.27475e9 / (t * t * t) - 0.98598e6 / (t * t) + 1.17444e3 / t + 0.145986
     elif t <= 7000:
-        xd = -4.6070e9 / t**3 + 2.9678e6 / t**2 + 0.09911e3 / t + 0.244063
+        xd = -4.6070e9 / (t * t * t) + 2.9678e6 / (t * t) + 0.09911e3 / t + 0.244063
     else:
-        xd = -2.0064e9 / t**3 + 1.9018e6 / t**2 + 0.24748e3 / t + 0.237040
+        xd = -2.0064e9 / (t * t * t) + 1.9018e6 / (t * t) + 0.24748e3 / t + 0.237040
     yd = -3 * xd * xd + 2.87 * xd - 0.275
     xyz = np.array([xd / yd, 1.0, (1 - xd - yd) / yd])
-    rgb = xyz @ XYZ_TO_RGB
+    # explicit per-channel sums in the reference's order (dng.c:320-322);
+    # a matmul may reassociate/FMA and drift the last ulp, which shows up
+    # as an off-by-one AsShotNeutral denominator after the x1e6 truncation
+    rgb = np.array([
+        xyz[0] * XYZ_TO_RGB[0, c] + xyz[1] * XYZ_TO_RGB[1, c] + xyz[2] * XYZ_TO_RGB[2, c]
+        for c in range(3)
+    ])
     return rgb / rgb.max()
 
 
@@ -107,7 +115,10 @@ def _cam_xyz_coeff(cam_xyz: np.ndarray):
     for i in range(3):
         for j in range(3):
             rgb_cam[i, j] = inverse[j, i]
-    return np.float32(pre_mul), rgb_cam
+    # the reference declares float rgb_cam[3][4] (dng.c:357): the inverse is
+    # rounded to float32 before the second pseudo-inverse consumes it, and
+    # that rounding is observable in the final multipliers
+    return np.float32(pre_mul), np.float64(np.float32(rgb_cam))
 
 
 def kelvin_green_to_multipliers(temperature: float, green: float, color_matrix2) -> np.ndarray:
@@ -126,7 +137,10 @@ def kelvin_green_to_multipliers(temperature: float, green: float, color_matrix2)
     rgb_wb[1] /= green
     chan = np.zeros(3)
     for c in range(3):
-        inv = sum(1 / np.float64(pre_mul[c]) * cam_rgb[c, cc] * rgb_wb[cc] for cc in range(3))
+        # C computes `1 / pre_mul[c]` with a float operand (dng.c:414), so
+        # the reciprocal itself rounds to float32 before the double products
+        recip = np.float64(np.float32(1.0) / pre_mul[c])
+        inv = sum(recip * cam_rgb[c, cc] * rgb_wb[cc] for cc in range(3))
         chan[c] = 1 / inv
     chan[0] /= chan[1]
     chan[2] /= chan[1]

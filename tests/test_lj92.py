@@ -32,6 +32,23 @@ def test_roundtrip(rng, ncomp, bits):
     np.testing.assert_array_equal(dec, img)
 
 
+def test_roundtrip_ssss16(rng):
+    """16-bit content whose row-start/neighbor diffs hit SSSS class 16
+    (diff == 32768 mod 2^16, coded with NO extra bits per T.81 H.2).
+    The reference lj92.c cannot represent this class (sssshist[16]
+    overflows; no special case in either direction), so this is gated as
+    our own roundtrip — see tools/fuzz_oracle.py op_lj92."""
+    for img in (
+        rng.integers(0, 65536, (64, 128)).astype(np.uint16),
+        (np.indices((32, 64)).sum(0) % 2 * 32768).astype(np.uint16),
+        (np.arange(64 * 128, dtype=np.uint32).reshape(64, 128) * 32768 % 65536).astype(
+            np.uint16
+        ),
+    ):
+        dec, w, h, b, nc = lj92.decode(lj92.encode(img, ncomp=1, bits=16))
+        np.testing.assert_array_equal(dec, img)
+
+
 @pytest.mark.skipif(not oracle.available(), reason="reference oracle unavailable")
 def test_interop_with_reference(rng):
     img = _image(rng)

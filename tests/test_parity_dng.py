@@ -33,6 +33,14 @@ def _clip(tmp_path, **kw):
         dict(width=256, height=64, kelvin=3200),
         dict(width=2240, height=718, frames=1),  # squeeze heuristic path (AR>2, h<=720)
         dict(width=1808, height=726, frames=1, active_area=(10, 60, 726, 1808)),
+        # AsShotNeutral ulp cases (found by tools/fuzz_oracle.py): the C
+        # computes `1 / pre_mul[c]` in float32 and stores rgb_cam as float
+        # (dng.c:357,414); full-double math lands one past the x1e6
+        # truncation boundary at these kelvin/matrix combinations
+        dict(width=256, height=64, camera_name="Canon EOS 7D", wb_mode=4),
+        dict(width=256, height=64, camera_name="Canon EOS 7D", wb_mode=3),
+        dict(width=256, height=64, camera_name="Canon EOS 700D", kelvin=4196),
+        dict(width=256, height=64, camera_name="Canon EOS Unknown", kelvin=9092),
     ],
 )
 def test_dng_header_byte_exact(tmp_path, kw):

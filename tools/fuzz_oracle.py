@@ -273,7 +273,12 @@ def op_stripes(c: Campaign, rng, it):
     )
     if bool(needed) != bool(ref_needed):
         raise AssertionError(f"needed {needed} != ref {ref_needed}")
-    np.testing.assert_allclose(ours_gains, ref_gains, atol=16)
+    # mutual-disagreement bound, measured over 40 random scenes: the two
+    # dither realizations disagree mean ~9 / max ~18 FIXP units while BOTH
+    # sit ~2100 units from the injected true gains (identical estimator
+    # quality) — so 32 is the contract here, not the fixed-pattern test's
+    # 16; the reference's own apply threshold is 131 (0.2%, stripes.c:238)
+    np.testing.assert_allclose(ours_gains, ref_gains, atol=32)
     ours_fixed = np.asarray(
         stripes_ops.apply_correction_batch(
             jnp.asarray(img[None]), ref_gains.astype(np.int32), black, white
@@ -298,7 +303,20 @@ def _spread_points(rng, h, w, n, margin=10, min_dist=5):
 
 
 def op_badpix(c: Campaign, rng, it):
-    """Bad-pixel detect+fix parity with random injections (cs.c:220-353)."""
+    """Bad-pixel detect+fix parity with random injections (cs.c:220-353).
+
+    Contract care, learned from the first campaign run:
+    - the reference caches the detected map per (fileGuid, aggressive)
+      (cs.c:233-245), so the clip here gets a fresh unique GUID per
+      iteration — a shared GUID makes the oracle reuse a stale map from an
+      earlier iteration's image.
+    - the parity contract only covers non-interacting detections: the
+      reference fixes sequentially, so two detected pixels whose stencils
+      overlap see each other's fixes. The base image is smooth (no natural
+      detections — broadband-uniform content plus `aggressive` triggers
+      hundreds of adjacent natural hits) and injections are spread >= 5 px;
+      a pairwise-distance guard skips the rare residual interaction.
+    """
     from mlvfs_tpu.ops import pixels as pixel_ops
     from mlvfs_tpu.ops.pixels import fix_pixel_list_batch
 
@@ -307,15 +325,33 @@ def op_badpix(c: Campaign, rng, it):
         return
     black = c.blacks[int(rng.integers(len(c.blacks)))]
     aggressive = bool(rng.integers(0, 2))
-    fh, spec, _ = c.clip(w, h, black=black)
-    img = rng.integers(black + 200, 12000, (h, w), dtype=np.int64).astype(np.uint16)
+    path = os.path.join(c.workdir, f"B{it}.MLV")
+    synth.write_mlv(
+        path, width=w, height=h, frames=1, black=black,
+        guid=int(rng.integers(1, 1 << 62)),
+    )
+    with MLVClip(path) as clip:
+        fh = clip.frame_headers(0)
+    # smooth base: gradient + low-sigma noise keeps natural detections at 0
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = black + 1200 + 900 * np.sin(xx / 17.0) + 700 * np.cos(yy / 23.0)
+    img = np.clip(base + rng.normal(0, 25, (h, w)), black + 500, 12000).astype(np.uint16)
     for i, (y, x) in enumerate(_spread_points(rng, h, w, int(rng.integers(2, 12)))):
-        img[y, x] = int(rng.integers(0, max(1, black - 96))) if i % 2 == 0 else int(
-            rng.integers(15500, 16383)
-        )
+        v = int(img[y, x])
+        if i % 3 == 0:
+            img[y, x] = int(rng.integers(0, max(1, black - 96)))  # cold
+        elif i % 3 == 1:
+            img[y, x] = min(16383, black + 8 * (v - black))  # hot (2 EV)
+        else:
+            img[y, x] = min(16383, black + int(2.5 * (v - black)))  # aggressive-only
     ours_list = pixel_ops.detect_bad_pixels(
         img, w, h, black, aggressive=aggressive, crop_x=0, crop_y=0
     )
+    pts = [(int(p[0]), int(p[1])) for p in ours_list]
+    for i in range(len(pts)):
+        for j in range(i + 1, len(pts)):
+            if abs(pts[i][0] - pts[j][0]) < 4 and abs(pts[i][1] - pts[j][1]) < 4:
+                return  # interacting detections: outside the parity contract
     ref_fixed = oracle.fix_bad_pixels(fh, img, aggressive=int(aggressive), dual_iso=0)
     ours_fixed = np.asarray(
         fix_pixel_list_batch(jnp.asarray(img[None]), ours_list, black, 0, 0, dual_iso=False)
@@ -324,7 +360,14 @@ def op_badpix(c: Campaign, rng, it):
 
 
 def op_focus(c: Campaign, rng, it):
-    """Focus-pixel map correction parity (cs.c:355-438)."""
+    """Focus-pixel map correction parity (cs.c:355-438).
+
+    The reference caches loaded .fpm maps statically per (camera, sensor
+    crop) for the life of the process (cs.c:355-362; the caller reuses the
+    first load), so the map content here derives deterministically from
+    the geometry — every iteration that repeats a geometry presents the
+    exact map the oracle cached at its first load. The frame content stays
+    random (the fix is stateless given the map)."""
     from mlvfs_tpu.ops import pixels as pixel_ops
     from mlvfs_tpu.ops.pixels import fix_pixel_list_batch
 
@@ -332,29 +375,28 @@ def op_focus(c: Campaign, rng, it):
     if h < 32 or w < 32:
         return
     fh, spec, path = c.clip(w, h)
-    pts = [(x, y) for y, x in _spread_points(rng, h, w, int(rng.integers(3, 16)))]
+    map_rng = np.random.default_rng(w * 131071 + h)  # per-geometry, run-stable
+    pts = [(x, y) for y, x in _spread_points(map_rng, h, w, 3 + (w + h) % 12)]
     pts += [(1, min(50, h - 2)), (w - 2, min(50, h - 2))]  # edge branches
     cam = int(fh.idnt["cameraModel"])
     ri = fh.raw_info
     fpm_dir = os.path.dirname(path)
     fpm = os.path.join(fpm_dir, "%x_%ix%i.fpm" % (cam, ri.width, ri.height))
-    with open(fpm, "w") as f:
-        for x, y in pts:
-            f.write(f"{x} {y}\n")
-    try:
-        dual_iso = int(rng.integers(0, 2))
-        img = _rand_frame(rng, h, w, spec.black, spec.white)
-        ref_fixed = oracle.fix_focus_pixels(fh, img, dual_iso, cwd=fpm_dir)
-        pl = pixel_ops.load_focus_pixel_map(cam, ri.width, ri.height, fpm_dir)
-        assert pl is not None and len(pl) == len(pts)
-        ours_fixed = np.asarray(
-            fix_pixel_list_batch(
-                jnp.asarray(img[None]), pl, spec.black, 0, 0, dual_iso=bool(dual_iso)
-            )
-        )[0]
-        np.testing.assert_array_equal(ref_fixed, ours_fixed)
-    finally:
-        os.unlink(fpm)
+    if not os.path.exists(fpm):  # deterministic content: write-once
+        with open(fpm, "w") as f:
+            for x, y in pts:
+                f.write(f"{x} {y}\n")
+    dual_iso = int(rng.integers(0, 2))
+    img = _rand_frame(rng, h, w, spec.black, spec.white)
+    ref_fixed = oracle.fix_focus_pixels(fh, img, dual_iso, cwd=fpm_dir)
+    pl = pixel_ops.load_focus_pixel_map(cam, ri.width, ri.height, fpm_dir)
+    assert pl is not None and len(pl) == len(pts), "map load count"
+    ours_fixed = np.asarray(
+        fix_pixel_list_batch(
+            jnp.asarray(img[None]), pl, spec.black, 0, 0, dual_iso=bool(dual_iso)
+        )
+    )[0]
+    np.testing.assert_array_equal(ref_fixed, ours_fixed)
 
 
 def op_wav(c: Campaign, rng, it):
@@ -410,11 +452,22 @@ def op_gif(c: Campaign, rng, it):
 
 
 def op_lj92(c: Campaign, rng, it):
-    """LJ92 cross-direction interop on random images (lj92.c)."""
+    """LJ92 interop at <=14 bits; ours-roundtrip at 16 (lj92.c).
+
+    Cross-direction interop only runs at bit depths the reference handles
+    per spec. At 16 bits with high-entropy content, SSSS class 16 occurs
+    (diff == 32768, coded with NO extra bits, T.81 H.2): the reference's
+    encoder keeps `int sssshist[16]` (lj92.c:60 — class 16 overflows it;
+    heap corruption observed in this campaign) and neither its encoder nor
+    decoder implements the no-extra-bits special case, so 16-bit interop
+    with lj92.c is undefined, not a parity target. MLV camera streams are
+    <=14 bit. Our codec implements the spec case on both sides and is
+    gated here by its own 16-bit roundtrip on the same hostile content.
+    """
     from mlvfs_tpu.codecs import lj92
 
     h, w = int(rng.integers(8, 120)), int(rng.integers(16, 200)) * 2
-    bits = int(rng.choice([12, 14, 16]))
+    bits = int(rng.choice([10, 12, 14, 16]))
     kind = rng.random()
     if kind < 0.3:
         img = np.full((h, w), int(rng.integers(0, 1 << bits)), np.uint16)  # flat
@@ -422,6 +475,10 @@ def op_lj92(c: Campaign, rng, it):
         img = rng.integers(0, 1 << bits, (h, w)).astype(np.uint16)  # broadband
     else:
         img = (np.cumsum(rng.integers(-3, 4, (h, w)), axis=1) % (1 << bits)).astype(np.uint16)
+    if bits == 16:
+        dec, dw, dh, db, dn = lj92.decode(lj92.encode(img, ncomp=1, bits=16))
+        np.testing.assert_array_equal(dec.reshape(h, w), img, err_msg="ours 16-bit roundtrip")
+        return
     dec, dw, dh, dbits = oracle.lj92_decode(lj92.encode(img, ncomp=1, bits=bits))
     np.testing.assert_array_equal(dec.reshape(h, w), img, err_msg="ours->ref")
     dec2, *_ = lj92.decode(oracle.lj92_encode(img, bitdepth=bits))
