@@ -64,6 +64,10 @@ def _shift_cols(a, d, fill):
     h, w = a.shape
     if d == 0:
         return a
+    if abs(d) >= w:
+        # whole row shifted out (half-res width below the +-25 blur window,
+        # e.g. a 124-px-wide frame): every element is the edge fill
+        return jnp.full((h, w), fill, a.dtype)
     if d > 0:
         return jnp.concatenate([a[:, d:], jnp.full((h, d), fill, a.dtype)], axis=1)
     return jnp.concatenate([jnp.full((h, -d), fill, a.dtype), a[:, :d]], axis=1)

@@ -150,6 +150,21 @@ def test_pattern_noise_parity_fused_path():
     np.testing.assert_array_equal(ref, ours)
 
 
+def test_pattern_noise_small_dimensions_parity():
+    """Frames whose half-res dimension is below the +-25 blur window (e.g.
+    40 px tall -> 20 half-res rows for the transposed row pass) must still
+    match the reference bit-for-bit — its scan loops clamp at the borders
+    (patternnoise.c:123-144) so the window just shrinks. Found by
+    tools/fuzz_oracle.py: _shift_cols produced a wrong-width array when the
+    shift exceeded the row length, crashing the op at these geometries."""
+    rng = np.random.default_rng(3)
+    for h, w in ((40, 124), (24, 32), (16, 64)):
+        img = rng.integers(0, 15000, (h, w)).astype(np.uint16)
+        ref = oracle.fix_pattern_noise(img.astype(np.int16), white=15000).astype(np.uint16)
+        ours = np.asarray(fix_pattern_noise_batch(jnp.asarray(img[None]), 15000))[0]
+        np.testing.assert_array_equal(ref, ours, err_msg=f"{h}x{w}")
+
+
 def test_pattern_noise_odd_dimensions():
     """Odd frame sizes (real: EOSM crop 1808x727) process the even-cropped
     region and pass the last row/column through. The reference C has no

@@ -241,7 +241,9 @@ def op_deflicker(c: Campaign, rng, it):
 
     h, w = c.shapes[int(rng.integers(len(c.shapes)))]
     bpp = int(rng.choice([12, 14]))
-    black = c.blacks[int(rng.integers(len(c.blacks)))]
+    # keep a sane domain above black at 12 bpp (pool blacks reach ~4000,
+    # which would collapse the [black+64, 2^bpp-256) target range)
+    black = min(c.blacks[int(rng.integers(len(c.blacks)))], (1 << bpp) - 1024)
     fh, spec, _ = c.clip(w, h, bpp=bpp, black=black)
     lo = black + 16  # median must clear black (the reference's log2 domain)
     img = rng.integers(lo, (1 << bpp) - 1, (h, w), dtype=np.int64).astype(np.uint16)
