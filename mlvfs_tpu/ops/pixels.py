@@ -130,10 +130,18 @@ def _ev_tables(black: int, device=False):
 
 
 def _interp_weights2(d1, d2):
-    """(sum-d)<<8 / sum fixed-point weights of interpolate_horizontal/vertical."""
+    """(sum-d)<<8 / sum fixed-point weights of interpolate_horizontal/vertical.
+
+    Exact C int32 semantics: the d's are ABS of wrapped differences and can
+    be NEGATIVE when a gradient neighbor sits exactly at black (raw2ev =
+    INT_MIN, and C's ABS(INT_MIN) wraps back to INT_MIN); the reference
+    only short-circuits sum == 0 and otherwise divides by the possibly
+    negative sum with C's truncating `/` (cs.c:96-103). lax.div is that
+    truncating division."""
     s = d1 + d2
-    c1 = jnp.where(s > 0, ((s - d1) << 8) // jnp.maximum(s, 1), 0)
-    c2 = jnp.where(s > 0, ((s - d2) << 8) // jnp.maximum(s, 1), 0)
+    safe = jnp.where(s == 0, 1, s)
+    c1 = jnp.where(s == 0, 0, jax.lax.div((s - d1) << 8, safe))
+    c2 = jnp.where(s == 0, 0, jax.lax.div((s - d2) << 8, safe))
     return s, c1, c2
 
 
@@ -189,13 +197,14 @@ def build_pixel_fixer(
         ev_v = ((ev(at(2 * w_)) * cv1) >> 8) + ((ev(at(-2 * w_)) * cv2) >> 8)
         vert = jnp.where(sv == 0, at(2 * w_), ev2raw(ev_v))
 
-        # combined 4-direction stencil (cs.c:133-168)
+        # combined 4-direction stencil (cs.c:133-168); same exact-C division
+        # semantics as _interp_weights2 (sum may be negative via INT_MIN)
         s4 = dh1 + dh2 + dv1 + dv2
-        s4c = jnp.maximum(s4, 1)
-        cv1f = ((s4 - dv1) << 8) // (3 * s4c)
-        cv2f = ((s4 - dv2) << 8) // (3 * s4c)
-        ch1f = ((s4 - dh1) << 8) // (3 * s4c)
-        ch2f = ((s4 - dh2) << 8) // (3 * s4c)
+        s4c = jnp.where(s4 == 0, 1, 3 * s4)
+        cv1f = jax.lax.div((s4 - dv1) << 8, s4c)
+        cv2f = jax.lax.div((s4 - dv2) << 8, s4c)
+        ch1f = jax.lax.div((s4 - dh1) << 8, s4c)
+        ch2f = jax.lax.div((s4 - dh2) << 8, s4c)
         ev_4 = (
             ((ev(at(2 * w_)) * cv1f) >> 8)
             + ((ev(at(-2 * w_)) * cv2f) >> 8)

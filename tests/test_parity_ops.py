@@ -127,6 +127,52 @@ def test_focus_pixel_fix_parity(tmp_path):
         np.testing.assert_array_equal(ref_fixed, ours_fixed, err_msg=f"dual_iso={dual_iso}")
 
 
+def test_pixel_fix_black_gradient_neighbors_parity(tmp_path):
+    """Interpolation weights with a gradient neighbor exactly at black.
+
+    raw2ev[black] is INT_MIN (the C casts -inf, main.c:165), so the
+    ABS/sum/divide weight chain in interpolate_* runs on wrapped int32
+    values and C's truncating division by a possibly NEGATIVE sum
+    (cs.c:96-103,151-158). Found by tools/fuzz_oracle.py (seeds 25/29):
+    guarding on sum>0 with a floor division diverged by a full
+    interpolation direction. Exercises both the 4-direction and the
+    dual-ISO horizontal paths."""
+    from mlvfs_tpu.ops import pixels as pixel_ops
+    from mlvfs_tpu.ops.pixels import fix_pixel_list_batch
+
+    # distinct geometry: the oracle caches the first .fpm loaded per
+    # (camera, crop) for the process (cs.c:421-437), and 320x96 is taken
+    # by test_focus_pixel_fix_parity
+    clip, fh, spec, img = _clip_and_frame(tmp_path, width=328)
+    img = img.copy()
+    cases = [(40, 30), (80, 30), (120, 30), (160, 50), (200, 50)]
+    for i, (x, y) in enumerate(cases):
+        # surround each listed pixel with black at a mix of the +-1/+-3
+        # gradient offsets and the +-2 value offsets
+        if i % 2 == 0:
+            img[y, x + 1] = spec.black
+            img[y - 1, x] = spec.black
+        else:
+            img[y, x - 3] = spec.black
+            img[y + 3, x] = spec.black
+        if i == 2:
+            img[y, x + 2] = spec.black  # value neighbor at black too
+    cam = int(fh.idnt["cameraModel"])
+    ri = fh.raw_info
+    with open(tmp_path / ("%x_%ix%i.fpm" % (cam, ri.width, ri.height)), "w") as f:
+        for x, y in cases:
+            f.write(f"{x} {y}\n")
+    pl = pixel_ops.load_focus_pixel_map(cam, ri.width, ri.height, str(tmp_path))
+    for dual_iso in (0, 1):
+        ref_fixed = oracle.fix_focus_pixels(fh, img, dual_iso, cwd=str(tmp_path))
+        ours_fixed = np.asarray(
+            fix_pixel_list_batch(
+                jnp.asarray(img[None]), pl, spec.black, 0, 0, dual_iso=bool(dual_iso)
+            )
+        )[0]
+        np.testing.assert_array_equal(ref_fixed, ours_fixed, err_msg=f"dual_iso={dual_iso}")
+
+
 @pytest.mark.parametrize("method", [2, 3, 5])
 def test_chroma_smooth_pallas_matches_xla(tmp_path, method):
     """The VMEM-resident chroma kernel equals the XLA form (and hence the
