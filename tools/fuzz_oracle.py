@@ -258,13 +258,28 @@ def op_deflicker(c: Campaign, rng, it):
 
 
 def op_stripes(c: Campaign, rng, it):
-    """Stripe calibration (tolerance: dither) + exact apply (stripes.c)."""
+    """Stripe calibration (tolerance: dither) + exact apply (stripes.c).
+
+    Content is a smooth bright scene with per-column-mod-8 gain errors —
+    the banding the calibration exists for. On broadband-uniform content
+    the log2-ratio median is ill-conditioned: both estimators land ~2000
+    FIXP units from the injected truth with a heavy-tailed mutual
+    disagreement (observed up to 46), which tests the dither, not the
+    port. On smooth scenes both sit ~180 from truth and disagree mean 3.6
+    / max 8 over 40 cases; 16 is the contract bound (the reference's own
+    apply threshold is 131 = 0.2%, stripes.c:238)."""
     from mlvfs_tpu.ops import stripes as stripes_ops
 
     h, w = 96, 320  # calibration needs enough highlight mass per column class
     black, white = 2048, 15000
     fh, spec, _ = c.clip(w, h)
-    base = rng.integers(black + 2000, 16000, (h, w)).astype(np.float64)
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = (
+        9000
+        + 3500 * np.sin(xx / 37.0 + rng.random() * 6)
+        + 2000 * np.cos(yy / 23.0)
+        + rng.normal(0, 200, (h, w))
+    )
     gains = 1.0 + rng.uniform(-0.02, 0.02, 8)
     gains[:2] = 1.0  # columns 0/1 are the reference pair
     img = black + (base - black) * np.tile(gains, w // 8)[None, :]
@@ -275,12 +290,7 @@ def op_stripes(c: Campaign, rng, it):
     )
     if bool(needed) != bool(ref_needed):
         raise AssertionError(f"needed {needed} != ref {ref_needed}")
-    # mutual-disagreement bound, measured over 40 random scenes: the two
-    # dither realizations disagree mean ~9 / max ~18 FIXP units while BOTH
-    # sit ~2100 units from the injected true gains (identical estimator
-    # quality) — so 32 is the contract here, not the fixed-pattern test's
-    # 16; the reference's own apply threshold is 131 (0.2%, stripes.c:238)
-    np.testing.assert_allclose(ours_gains, ref_gains, atol=32)
+    np.testing.assert_allclose(ours_gains, ref_gains, atol=16)
     ours_fixed = np.asarray(
         stripes_ops.apply_correction_batch(
             jnp.asarray(img[None]), ref_gains.astype(np.int32), black, white
