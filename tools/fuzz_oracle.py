@@ -497,6 +497,40 @@ def op_lj92(c: Campaign, rng, it):
     np.testing.assert_array_equal(dec2.reshape(h, w), img, err_msg="ref->ours")
 
 
+def op_preview(c: Campaign, rng, it):
+    """Dual-ISO preview vs the reference, random phase/EV/content (hdr.c:40-227).
+
+    Fixed 1280x960 geometry: the reference's CDF walk is bounded by the
+    sample count (hdr.c:127), so smaller frames make the C fit itself
+    degenerate — see tests/test_parity_dualiso_preview.py. Gates mirror
+    that test: detection agrees, levels x4, <2% differing pixels and
+    PSNR > 60 dB (both sides compute the fit in different float widths)."""
+    from mlvfs_tpu.ops import dualiso
+
+    phase = int(rng.integers(0, 4))
+    ev = int(rng.choice([2, 3, 4, 5]))
+    spec = synth.SynthSpec(
+        width=1280, height=960, frames=1, seed=int(rng.integers(1 << 30)),
+        dual_iso=ev, dual_iso_phase=phase,
+    )
+    img = synth.make_frame_data(spec, np.random.default_rng(spec.seed))
+    path = os.path.join(c.workdir, f"P{it}.MLV")
+    synth.write_mlv(path, spec, frame_data=img[None])
+    with MLVClip(path) as clip:
+        fh = clip.frame_headers(0)
+    ref, ok, ref_black, ref_white = oracle.hdr_preview(fh, img)
+    assert ok, "oracle did not detect the dual-ISO pattern"
+    assert (ref_black, ref_white) == (spec.black * 4, spec.white * 4)
+    out, ok_mask = dualiso.hdr_preview_batch(jnp.asarray(img[None]), fh, None)
+    assert bool(ok_mask[0]), f"our detection rejected phase={phase} ev={ev}"
+    ours = np.asarray(out)[0]
+    mismatched = (ref != ours).mean()
+    assert mismatched < 0.02, f"{mismatched:.4f} of pixels differ (phase={phase} ev={ev})"
+    mse = np.mean((ref.astype(np.float64) - ours.astype(np.float64)) ** 2)
+    psnr = np.inf if mse == 0 else 10 * np.log10(65535.0**2 / mse)
+    assert psnr > 60, f"PSNR {psnr:.1f} dB (phase={phase} ev={ev})"
+
+
 OPS = {
     "dng": op_dng,
     "unpack": op_unpack,
@@ -509,6 +543,7 @@ OPS = {
     "wav": op_wav,
     "gif": op_gif,
     "lj92": op_lj92,
+    "preview": op_preview,
 }
 
 
