@@ -291,15 +291,21 @@ def hdr_preview_batch(imgs, fh, cal):
         shadow = jnp.asarray([f.shadow for f in fits])
         drs = jnp.asarray([f.dark_row_start for f in fits])
 
-    # focus pixels fixed inside the preview path, horizontal mode (hdr.c:109)
+    # focus pixels fixed inside the preview path, horizontal mode — but only
+    # on frames whose interlacing was detected: the reference returns before
+    # fix_focus_pixels when detection fails (hdr.c:104-109), leaving the
+    # frame for the caller's else-branch (normal-mode fixes, main.c:966-973)
     if cal is not None and cal.focus_pixel_list is not None and len(cal.focus_pixel_list):
         from . import pixels as pixel_ops
 
         crop_x = (int(fh.vidf["panPosX"]) + 7) & ~7
         crop_y = int(fh.vidf["panPosY"]) & ~1
-        imgs = pixel_ops.fix_pixel_list_batch(
+        fixed = pixel_ops.fix_pixel_list_batch(
             imgs, cal.focus_pixel_list, black, crop_x, crop_y, dual_iso=True
         )
+        # device-side select keeps the no-host-round-trip property of the
+        # preview chain (ok may still be a device array here)
+        imgs = jnp.where(jnp.asarray(ok)[:, None, None], fixed, imgs)
 
     if isinstance(ok, np.ndarray) and not ok.any():
         return imgs, ok

@@ -17,6 +17,7 @@ from __future__ import annotations
 import dataclasses
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..ops import histogram as hist_ops
@@ -75,38 +76,48 @@ def run_pipeline(imgs, fh, cfg: ProcessingConfig, cal: ClipCalibration, info: di
 
         imgs = pn_ops.fix_pattern_noise_batch(imgs, white)
 
-    is_dual = False
+    okv = None  # per-frame dual-ISO conversion outcome (None: dual-ISO off)
     if cfg.dual_iso == 1:
         from ..ops import dualiso as di_ops
 
         imgs, ok = di_ops.hdr_preview_batch(imgs, fh, cal)
-        is_dual = bool(np.asarray(ok).any())
+        okv = np.asarray(ok)
     elif cfg.dual_iso == 2:
         from ..ops import dualiso_full as dif_ops
 
         imgs, ok = dif_ops.cr2hdr20_batch(imgs, fh, cfg, cal)
-        is_dual = bool(np.asarray(ok).any())
+        okv = np.asarray(ok)
+    is_dual = okv is not None and bool(okv.any())
     if is_dual:
         # per-frame levels: frames that failed detection keep 14-bit levels
-        okv = np.asarray(ok)
         info["levels"] = [
             ((black * 4, white * 4) if o else (black, white)) for o in okv
         ]
         info["black_level"] = black * 4
         info["white_level"] = white * 4
 
-    if not is_dual:
+    if okv is None or not okv.all():
+        # the reference's per-frame else-branch (main.c:966-973): every frame
+        # whose dual-ISO conversion did not run (or failed detection) gets
+        # normal-mode focus-pixel and bad-pixel fixes — including undetected
+        # frames inside an otherwise-converted batch
         from ..ops import pixels as pixel_ops
 
+        sel = None if okv is None or not okv.any() else ~okv
+        fixed = imgs
         if cal.focus_pixel_list is not None and len(cal.focus_pixel_list):
-            imgs = pixel_ops.fix_pixel_list_batch(
-                imgs, cal.focus_pixel_list, black, crop_x, crop_y, dual_iso=False
+            fixed = pixel_ops.fix_pixel_list_batch(
+                fixed, cal.focus_pixel_list, black, crop_x, crop_y, dual_iso=False
             )
         if cfg.fix_bad_pixels:
             if not cal.bad_pixels_done:
-                # detect on the first frame as fix_bad_pixels sees it
+                # detect on the first frame fix_bad_pixels actually sees —
+                # in a mixed batch that is the first *undetected* frame
+                # (the reference's per-GUID map comes from whichever frame
+                # reaches fix_bad_pixels first, cs.c:233-312)
+                i0 = 0 if sel is None else int(np.argmax(sel))
                 cal.bad_pixel_list = pixel_ops.detect_bad_pixels(
-                    np.asarray(imgs[0]),
+                    np.asarray(fixed[i0]),
                     width=fh.xres,
                     height=fh.yres,
                     black=black,
@@ -116,17 +127,37 @@ def run_pipeline(imgs, fh, cfg: ProcessingConfig, cal: ClipCalibration, info: di
                 )
                 cal.bad_pixels_done = True
             if cal.bad_pixel_list is not None and len(cal.bad_pixel_list):
-                imgs = pixel_ops.fix_pixel_list_batch(
-                    imgs, cal.bad_pixel_list, black, crop_x, crop_y, dual_iso=False
+                fixed = pixel_ops.fix_pixel_list_batch(
+                    fixed, cal.bad_pixel_list, black, crop_x, crop_y, dual_iso=False
                 )
+        if sel is None:
+            imgs = fixed
+        else:
+            imgs = jnp.where(jnp.asarray(sel)[:, None, None], fixed, imgs)
 
     if cfg.chroma_smooth and cfg.dual_iso != 2:
         from ..ops import chroma_smooth as cs_ops
 
-        imgs = cs_ops.chroma_smooth_batch(imgs, cfg.chroma_smooth, info["black_level"])
+        m = cfg.chroma_smooth
+        if okv is None or not okv.any():
+            imgs = cs_ops.chroma_smooth_batch(imgs, m, black)
+        elif okv.all():
+            imgs = cs_ops.chroma_smooth_batch(imgs, m, black * 4)
+        else:
+            # mixed batch: the reference smooths each frame under that
+            # frame's (possibly x4) black level (main.c:975-978 runs on the
+            # per-frame mutated header) — smooth under both, pick per frame
+            hi = cs_ops.chroma_smooth_batch(imgs, m, black * 4)
+            lo = cs_ops.chroma_smooth_batch(imgs, m, black)
+            imgs = jnp.where(jnp.asarray(okv)[:, None, None], hi, lo)
 
     if cfg.fix_stripes:
         from ..ops import stripes as stripes_ops
+
+        # per-frame levels (main.c:980-996 runs on the per-frame mutated
+        # header: a converted frame calibrates/applies at x4 levels)
+        def _lv(o):
+            return (black * 4, white * 4) if o else (black, white)
 
         if not cal.stripes_done:
             if cfg.stripes_batch_cal:
@@ -139,21 +170,26 @@ def run_pipeline(imgs, fh, cfg: ProcessingConfig, cal: ClipCalibration, info: di
                 gains, needed = np.asarray(g_dev), bool(needed_dev)
             else:
                 # gains from the first processed frame only (stripes.c:97-99)
+                b0, w0 = _lv(bool(okv[0])) if okv is not None else (
+                    info["black_level"], info["white_level"])
                 gains, needed = stripes_ops.compute_correction(
                     np.asarray(imgs[0]),
-                    info["black_level"],
-                    info["white_level"],
+                    b0,
+                    w0,
                     fh.xres,
                     frame_size_bytes=ri.frame_size,
                 )
             cal.stripes_gains, cal.stripes_needed = gains, needed
             cal.stripes_done = True
         if cal.stripes_needed:
-            imgs = stripes_ops.apply_correction_batch(
-                imgs,
-                np.asarray(cal.stripes_gains),
-                info["black_level"],
-                info["white_level"],
-            )
+            gains = np.asarray(cal.stripes_gains)
+            if okv is None or okv.all() or not okv.any():
+                imgs = stripes_ops.apply_correction_batch(
+                    imgs, gains, info["black_level"], info["white_level"]
+                )
+            else:  # mixed batch: apply under each frame's own levels
+                hi = stripes_ops.apply_correction_batch(imgs, gains, black * 4, white * 4)
+                lo = stripes_ops.apply_correction_batch(imgs, gains, black, white)
+                imgs = jnp.where(jnp.asarray(okv)[:, None, None], hi, lo)
 
     return imgs, info

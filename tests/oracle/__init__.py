@@ -145,12 +145,22 @@ def stripes(fh, img: np.ndarray, apply: bool = True):
     return data, np.array(gains[:8]), bool(needed)
 
 
-def hdr_preview(fh, img: np.ndarray):
+def hdr_preview(fh, img: np.ndarray, cwd: str = None):
+    """``cwd``: directory holding .fpm maps — the preview path fixes focus
+    pixels itself on detected frames (hdr.c:109), loading maps from the
+    process CWD (cs.c:369)."""
     b = pack_frame_headers(fh)
     data = np.ascontiguousarray(img, "<u2").copy()
-    ok = lib().oracle_hdr_preview(
-        _buf(b), data.ctypes.data_as(ctypes.c_void_p), ctypes.c_size_t(data.size * 2)
-    )
+    old = os.getcwd()
+    if cwd:
+        os.chdir(cwd)
+    try:
+        ok = lib().oracle_hdr_preview(
+            _buf(b), data.ctypes.data_as(ctypes.c_void_p), ctypes.c_size_t(data.size * 2)
+        )
+    finally:
+        if cwd:
+            os.chdir(old)
     black = ctypes.c_int()
     white = ctypes.c_int()
     lib().oracle_get_levels(_buf(b), ctypes.byref(black), ctypes.byref(white))
