@@ -21,6 +21,17 @@ import time
 import numpy as np
 
 
+def _reps(fn, n=5):
+    """One bench discipline for every leg (VERDICT r4 #7): the recorded
+    number is the median of n reps — robust to the 20-30% dips a noisy
+    neighbor on this shared host injects into single reps — and the best
+    rep rides along as the sustained-capability secondary field."""
+    import statistics
+
+    vals = sorted(fn() for _ in range(n))
+    return {"median": statistics.median(vals), "best": vals[-1]}
+
+
 def _setup_jax():
     import jax
 
@@ -96,10 +107,6 @@ def main():
         dev = jax.device_put(np.ascontiguousarray(words))
         int(run(dev, jnp.uint32(0)))  # compile + warm
 
-        # best of 3 reps, same methodology as the host leg: this rig reaches
-        # the TPU through a shared network relay, and one stalled dispatch
-        # inside a rep reads as a 10-25% throughput dip (the source of the
-        # r01->r02 "drift"); the max is the sustained device capability
         def one_rep():
             t0 = time.perf_counter()
             c = jnp.uint32(0)
@@ -108,7 +115,8 @@ def main():
             int(c)
             return batch * n_batches / (time.perf_counter() - t0)
 
-        fps = max(one_rep() for _ in range(3))
+        head = _reps(one_rep)
+        fps = head["median"]
         metric = "1080p_14bit_raw_to_dng_frames_per_sec_per_chip"
 
         # second recorded number: the fused processing program
@@ -142,7 +150,9 @@ def main():
                 int(c)
                 return pb * nb / (time.perf_counter() - t0)
 
-            extra["pipeline_fps"] = round(max(one_rep_f() for _ in range(3)), 2)
+            pl = _reps(one_rep_f)
+            extra["pipeline_fps"] = round(pl["median"], 2)
+            extra["pipeline_fps_best"] = round(pl["best"], 2)
             extra["pipeline_ops"] = "unpack+deflicker+cs3x3+stripes"
         except Exception as e:  # the headline number must survive regardless
             extra["pipeline_error"] = str(e)[:200]
@@ -186,8 +196,10 @@ def main():
                     np.asarray(o[:, ::256, ::256])  # chain: forces execution
                 return di_b * nd / (time.perf_counter() - t0)
 
-            di_fps = max(one_rep_d() for _ in range(3))
+            di = _reps(one_rep_d)
+            di_fps = di["median"]
             extra["dualiso_fps"] = round(di_fps, 2)
+            extra["dualiso_fps_best"] = round(di["best"], 2)
             extra["dualiso_ms_per_frame"] = round(1000.0 / di_fps, 2)
             extra["dualiso_ops"] = "cr2hdr20 amaze-edge full path (analysis+reconstruction), 1080p batch 16"
         except Exception as e:
@@ -200,6 +212,7 @@ def main():
                     "value": round(fps, 2),
                     "unit": "frames/sec",
                     "vs_baseline": round(fps / 500.0, 3),
+                    "best_rep": round(head["best"], 2),
                     **extra,
                 }
             )
@@ -327,8 +340,7 @@ def _bench_compressed(frame, spec, comp):
             decode(indices)
         return frames / (_time.perf_counter() - t0)
 
-    # best of 3, same methodology as the host leg (shared-host noise)
-    fps = max(one_rep() for _ in range(3))
+    fps = _reps(one_rep)["median"]
     conv.close()
     import shutil
 
@@ -357,8 +369,7 @@ def _bench_encode(frame, spec):
             done += batch
         return done / (_time.perf_counter() - t0)
 
-    # best of 3, same methodology as the host leg (shared-host noise)
-    return max(one_rep() for _ in range(3))
+    return _reps(one_rep)["median"]
 
 
 def _bench_e2e(frame, spec):

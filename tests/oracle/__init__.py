@@ -179,6 +179,62 @@ def cr2hdr20(fh, img: np.ndarray, interp=0, fullres=1, alias_map=1, cs_method=0,
     return data, bool(ok), black.value, white.value
 
 
+def process_frame(
+    fh,
+    img: np.ndarray,
+    deflicker: int = 0,
+    fps: float = 0.0,
+    basename: str = "",
+    pattern: int = 0,
+    dual_iso: int = 0,
+    interp: int = 0,
+    fullres: int = 1,
+    alias_map: int = 1,
+    chroma: int = 0,
+    bad_pix: int = 0,
+    stripes: int = 0,
+    cwd: str = None,
+):
+    """The composed reference process_frame chain (main.c:908-1005).
+
+    Returns (data, header, is_dual, gains, stripes_needed). ``cwd`` is the
+    .fpm map directory (the chain's fix_focus_pixels loads from CWD).
+    """
+    b = pack_frame_headers(fh)
+    data = np.ascontiguousarray(img, "<u2").copy()
+    header = bytearray(65536)
+    gains = (ctypes.c_int * 8)()
+    needed = ctypes.c_int(0)
+    old = os.getcwd()
+    if cwd:
+        os.chdir(cwd)
+    try:
+        is_dual = lib().oracle_process_frame(
+            _buf(b),
+            data.ctypes.data_as(ctypes.c_void_p),
+            ctypes.c_size_t(data.size * 2),
+            _buf(header),
+            ctypes.c_size_t(65536),
+            deflicker,
+            ctypes.c_double(fps),
+            basename.encode(),
+            pattern,
+            dual_iso,
+            interp,
+            fullres,
+            alias_map,
+            chroma,
+            bad_pix,
+            stripes,
+            gains,
+            ctypes.byref(needed),
+        )
+    finally:
+        if cwd:
+            os.chdir(old)
+    return data, bytes(header), bool(is_dual), np.array(gains[:8]), bool(needed.value)
+
+
 def deflicker(fh, target: int, img: np.ndarray):
     b = pack_frame_headers(fh)
     data = np.ascontiguousarray(img, "<u2")

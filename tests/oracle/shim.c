@@ -163,6 +163,84 @@ void oracle_deflicker(void * fh, int target, uint16_t * data, size_t size, int32
     hist_destroy(hist);
 }
 
+/* ------- composed process_frame chain (main.c:908-1005) -------
+ * Replicates the reference orchestrator on an in-memory frame, in the exact
+ * order main.c runs it: deflicker -> header -> pattern noise -> dual-ISO
+ * (with header redo) -> else focus/bad fixes -> chroma (skipped when
+ * dual_iso==2 did it) -> stripes compute+apply. This is the end-to-end
+ * oracle for flag-interaction fuzzing: every module is already individually
+ * gated, this checks the composition the convert path actually runs.
+ *
+ * Notes mirroring main.c quirks:
+ * - the dual-ISO header redo passes the IMAGE size as max_size
+ *   (main.c:963 "image_buffer->size"), so for frames smaller than 64 KiB
+ *   only the head of the header is refreshed; callers fuzzing dual-ISO
+ *   must use geometries with 2*w*h >= 65536 (real sensor crops always are)
+ * - fix_focus_pixels in the else-branch runs unconditionally with
+ *   dual_iso=0 (main.c:968); map presence decides whether pixels change
+ * - stripes gains are computed from this frame (the reference caches per
+ *   MLV path from the first processed frame, main.c:980-996); srand(1)
+ *   pins the dither stream like oracle_stripes so runs are reproducible
+ * - caller must chdir to the .fpm map directory (cs.c:369 loads from CWD)
+ */
+int oracle_process_frame(void * fh, uint16_t * data, size_t size_bytes,
+                         uint8_t * header, size_t header_size,
+                         int deflicker_target, double fps, char * basename,
+                         int fix_pattern_noise_f, int dual_iso, int hdr_interp,
+                         int hdr_fullres, int hdr_alias_map,
+                         int chroma_smooth_f, int fix_bad_pixels_f,
+                         int fix_stripes_f, int * stripes_gains_out,
+                         int * stripes_needed_out)
+{
+    struct frame_headers * f = (struct frame_headers *)fh;
+    if (deflicker_target)
+    {   /* deflicker (main.c:895-906): mutates exposure_bias pre-header */
+        uint16_t black = f->rawi_hdr.raw_info.black_level;
+        uint16_t white = (1 << f->rawi_hdr.raw_info.bits_per_pixel) + 1;
+        struct histogram * hist = hist_create(white);
+        hist_add(hist, data + 1, (uint32_t)((size_bytes - 1) / 2), 1);
+        uint16_t median = hist_median(hist);
+        double correction = log2((double)(deflicker_target - black) / (median - black));
+        f->rawi_hdr.raw_info.exposure_bias[0] = (int32_t)(correction * 10000);
+        f->rawi_hdr.raw_info.exposure_bias[1] = 10000;
+        hist_destroy(hist);
+    }
+    dng_get_header_data(f, header, 0, header_size, fps, basename);
+    if (fix_pattern_noise_f)
+        fix_pattern_noise((int16_t *)data, f->rawi_hdr.xRes, f->rawi_hdr.yRes,
+                          f->rawi_hdr.raw_info.white_level, 0);
+    int is_dual_iso = 0;
+    if (dual_iso == 1)
+        is_dual_iso = hdr_convert_data(f, data, 0, size_bytes);
+    else if (dual_iso == 2)
+        is_dual_iso = cr2hdr20_convert_data(f, data, hdr_interp, hdr_fullres,
+                                            hdr_alias_map, chroma_smooth_f,
+                                            fix_bad_pixels_f);
+    if (is_dual_iso)
+    {   /* header redo at image size, preserving the main.c:963 quirk */
+        dng_get_header_data(f, header, 0, size_bytes, fps, basename);
+    }
+    else
+    {
+        fix_focus_pixels(f, data, 0);
+        if (fix_bad_pixels_f)
+            fix_bad_pixels(f, data, fix_bad_pixels_f == 2, is_dual_iso);
+    }
+    if (chroma_smooth_f && dual_iso != 2)
+        chroma_smooth(f, data, chroma_smooth_f);
+    if (fix_stripes_f)
+    {
+        struct stripes_correction corr;
+        memset(&corr, 0, sizeof(corr));
+        srand(1);
+        stripes_compute_correction(f, &corr, data, 0, size_bytes / 2);
+        stripes_apply_correction(f, &corr, data, 0, size_bytes / 2);
+        for (int i = 0; i < 8; i++) stripes_gains_out[i] = corr.coeffficients[i];
+        *stripes_needed_out = corr.correction_needed;
+    }
+    return is_dual_iso;
+}
+
 /* direct access to the AMaZE demosaic for core parity tests */
 void amaze_demosaic_RT(float** rawData, float** red, float** green, float** blue,
                        int winx, int winy, int winw, int winh);

@@ -22,8 +22,8 @@ _ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def test_fuzz_one_iteration_per_op():
     proc = subprocess.run(
         [sys.executable, os.path.join(_ROOT, "tools", "fuzz_oracle.py"),
-         "--iters", "12", "--seed", "3"],  # = len(OPS): one case per op
-        capture_output=True, text=True, timeout=900, cwd=_ROOT,
+         "--iters", "14", "--seed", "3"],  # = len(OPS): one case per op
+        capture_output=True, text=True, timeout=1200, cwd=_ROOT,
     )
     assert proc.returncode == 0, f"fuzz failures:\n{proc.stdout[-3000:]}\n{proc.stderr[-2000:]}"
     assert "0 failures" in proc.stdout

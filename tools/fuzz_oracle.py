@@ -21,10 +21,15 @@ Design notes:
   from --seed: every new (shape, static-arg) pair costs an XLA-CPU
   recompile, so unbounded random shapes would spend the whole campaign
   compiling. Pools move between runs (different --seed), not within one.
-- The dual-ISO PSNR paths are excluded by default: their XLA-CPU compiles
-  take minutes per geometry and the fixed-geometry gates already run in
-  tests/test_parity_dualiso_*.py. The campaign targets the bit-exact ops
-  where a single wrong pixel is a finding.
+- The dual-ISO PSNR paths fuzz at ONE pinned geometry (1280x960, the same
+  the fixed tests use, so every iteration reuses cached compiles): preview
+  (op_preview), the full cr2hdr20 path (op_cr2hdr: random content, phase,
+  EV gap, GBRG, amaze-edge/mean23), and preview inside the composed chain
+  (op_chain). Unbounded geometries would spend the campaign compiling.
+- op_chain drives the composed process_frame orchestrator (main.c:908-1005)
+  through the REAL convert path end-to-end with random flag combinations:
+  header bytes exact, payload bit-exact without dual-ISO, preview PSNR
+  contract with it.
 - Failures are deterministic to reproduce: the per-iteration rng derives
   from (--seed, iteration), so each FAIL line prints the exact re-run
   command. The campaign continues past failures; exit code 1 if any.
@@ -531,6 +536,237 @@ def op_preview(c: Campaign, rng, it):
     assert psnr > 60, f"PSNR {psnr:.1f} dB (phase={phase} ev={ev})"
 
 
+def op_cr2hdr(c: Campaign, rng, it):
+    """Dual-ISO full path (cr2hdr20) vs the reference at a pinned geometry
+    (hdr.c:1774-1930), randomized content/phase/EV/GBRG/interpolator.
+
+    1280x960 is pinned so every iteration reuses the compiles the fixed
+    tests already cached (the full path costs minutes per geometry on XLA
+    CPU); content, interlacing phase, exposure gap, Bayer order and the
+    interpolator (amaze-edge / mean23) all randomize. Gates mirror
+    tests/test_parity_dualiso_full.py / test_parity_amaze.py: PSNR > 55
+    (mean23; 45 for the no-fullres f32 curve case) / > 60 (amaze-edge)."""
+    from mlvfs_tpu.ops import dualiso_full
+    from mlvfs_tpu.pipeline.config import ProcessingConfig
+
+    interp = int(rng.integers(0, 2))  # 0=amaze-edge, 1=mean23
+    fullres, alias, cs = 1, 1, 0
+    if interp == 1 and rng.random() < 0.5:
+        # mean23 option combos from the fixed tests (each already compiled)
+        fullres, alias, cs = [(0, 1, 0), (1, 0, 0), (1, 1, 3), (0, 0, 5)][
+            int(rng.integers(4))
+        ]
+    spec = synth.SynthSpec(
+        width=1280, height=960, frames=1, seed=int(rng.integers(1 << 30)),
+        dual_iso=int(rng.choice([2, 3, 4, 5])), dual_iso_phase=int(rng.integers(0, 4)),
+        gbrg=bool(rng.integers(0, 2)),
+    )
+    img = synth.make_frame_data(spec, np.random.default_rng(spec.seed))
+    path = os.path.join(c.workdir, f"CR{it}.MLV")
+    synth.write_mlv(path, spec, frame_data=img[None])
+    with MLVClip(path) as clip:
+        fh = clip.frame_headers(0)
+    with oracle.capture_c_stdout():  # the C logs its analysis (hdr.c:622,820)
+        ref, ok, bl, wl = oracle.cr2hdr20(
+            fh, img, interp=interp, fullres=fullres, alias_map=alias, cs_method=cs
+        )
+    assert ok, f"oracle rejected dual-ISO (phase={spec.dual_iso_phase} ev={spec.dual_iso})"
+    assert (bl, wl) == (spec.black * 4, spec.white * 4)
+    cfg = ProcessingConfig(
+        dual_iso=2, hdr_interpolation_method=interp,
+        hdr_no_fullres=not fullres, hdr_no_alias_map=not alias, chroma_smooth=cs,
+    )
+    out, okm = dualiso_full.cr2hdr20_batch(jnp.asarray(img[None]), fh, cfg, None)
+    assert bool(np.asarray(okm)[0]), (
+        f"our detection rejected phase={spec.dual_iso_phase} ev={spec.dual_iso} gbrg={spec.gbrg}"
+    )
+    ours = np.asarray(out)[0]
+    mse = np.mean((ref.astype(np.float64) - ours.astype(np.float64)) ** 2)
+    psnr = np.inf if mse == 0 else 10 * np.log10(65535.0**2 / mse)
+    bound = 60 if interp == 0 else (45 if not fullres else 55)
+    assert psnr > bound, (
+        f"PSNR {psnr:.1f} dB (interp={interp} fullres={fullres} alias={alias} cs={cs} "
+        f"phase={spec.dual_iso_phase} ev={spec.dual_iso} gbrg={spec.gbrg})"
+    )
+
+
+CHAIN_CAM = 0x99775533  # chain-only camera id: the reference's focus-map
+#   cache is static first-load-wins per (camera, crop) (cs.c:421), so the
+#   chain owns a camera no other op touches and always provides its map
+
+
+def _chain_focus_map(c: Campaign, w, h):
+    """Deterministic per-geometry .fpm for the chain camera (write-once)."""
+    map_rng = np.random.default_rng(w * 131071 + h + 7)
+    pts = [(x, y) for y, x in _spread_points(map_rng, h, w, 3 + (w + h) % 10)]
+    fpm = os.path.join(c.workdir, "%x_%ix%i.fpm" % (CHAIN_CAM, w, h))
+    if not os.path.exists(fpm):
+        with open(fpm, "w") as f:
+            for x, y in pts:
+                f.write(f"{x} {y}\n")
+    return pts
+
+
+def _chain_convert(path, cfg, outdir, inject=None):
+    """Run our real conversion engine on the clip; returns (dng, calibration).
+
+    ``inject``: optional (gains, needed) preset for the stripe calibration —
+    used to pin the reference's dithered gains so the downstream apply can be
+    compared byte-for-byte (the gains themselves are compared under the
+    op_stripes tolerance contract separately)."""
+    from mlvfs_tpu.pipeline.convert import ClipConverter
+
+    with MLVClip(path) as clip:
+        conv = ClipConverter(clip, cfg)
+        try:
+            if inject is not None:
+                cal = conv._get_calibration()
+                cal.stripes_gains = np.asarray(inject[0], np.int32)
+                cal.stripes_needed = bool(inject[1])
+                cal.stripes_done = True
+            paths = conv.convert(outdir)
+            cal = conv._calibration
+        finally:
+            conv.close()
+    with open(paths[0], "rb") as f:
+        return f.read(), cal
+
+
+def op_chain(c: Campaign, rng, it):
+    """Composed process_frame chain vs the reference (main.c:908-1005).
+
+    Random flag combinations through the full convert path — decode,
+    deflicker, pattern noise, dual-ISO preview (+header redo), the per-frame
+    else-branch, chroma, stripes — compared end-to-end on the emitted DNG:
+    header bytes exact always; payload bit-exact without dual-ISO, under the
+    preview PSNR contract with it. Stripe gains are pinned to the
+    reference's dithered values for the byte compare and separately checked
+    under the op_stripes tolerance; our gains come from the same pipeline
+    position (the fully processed first frame, main.c:980-996)."""
+    from mlvfs_tpu.pipeline.config import ProcessingConfig
+
+    dual = 1 if rng.random() < 0.3 else 0
+    if dual:
+        # preview-fit geometry (see op_preview); also keeps the header-redo
+        # quirk moot (2*w*h >= 65536, main.c:963)
+        h, w = 960, 1280
+        black, white = 2048, 15000
+    else:
+        h, w = c.shapes[int(rng.integers(len(c.shapes)))]
+        if h < 32 or w < 32:
+            return
+        black = c.blacks[int(rng.integers(len(c.blacks)))]
+        white = c.whites[int(rng.integers(len(c.whites)))]
+    flags = dict(
+        deflicker=int(rng.choice([0, 0, black + 512 + int(rng.integers(0, 6000))])),
+        pattern=int(rng.integers(0, 2)),
+        dual_iso=dual,
+        chroma=0 if dual and rng.random() < 0.5 else int(rng.choice([0, 2, 3, 5])),
+        bad_pix=0 if dual else int(rng.choice([0, 0, 1, 2])),
+        stripes=int(rng.integers(0, 2)) if w % 8 == 0 else 0,
+    )
+
+    pts = _chain_focus_map(c, w, h)
+    if dual:
+        spec = synth.SynthSpec(
+            width=w, height=h, frames=1, seed=int(rng.integers(1 << 30)),
+            dual_iso=int(rng.choice([2, 3, 4])), dual_iso_phase=int(rng.integers(0, 4)),
+            camera_model=CHAIN_CAM, guid=int(rng.integers(1, 1 << 62)),
+            black=black, white=white,
+        )
+        img = synth.make_frame_data(spec, np.random.default_rng(spec.seed))
+    else:
+        spec = synth.SynthSpec(
+            width=w, height=h, frames=1, camera_model=CHAIN_CAM,
+            guid=int(rng.integers(1, 1 << 62)), black=black, white=white,
+        )
+        # smooth base (the bad-pixel contract needs no natural detections)
+        yy, xx = np.mgrid[0:h, 0:w]
+        base = black + 1400 + 1000 * np.sin(xx / 19.0 + rng.random() * 6) + 800 * np.cos(yy / 27.0)
+        if flags["stripes"] and rng.random() < 0.7:
+            gains = 1.0 + rng.uniform(-0.02, 0.02, 8)
+            gains[:2] = 1.0
+            base = black + (base - black) * np.tile(gains, w // 8)[None, :]
+        img = np.clip(base + rng.normal(0, 20, (h, w)), 0, 16383).astype(np.uint16)
+        if flags["bad_pix"]:
+            inj = _spread_points(rng, h, w, int(rng.integers(2, 8)))
+            # keep injections clear of the focus map (focus fixes run first;
+            # a bad pixel inside a focus stencil is still parity-safe, but
+            # a bad pixel AT a focus point would be fixed away pre-detection)
+            inj = [p for p in inj if all(abs(p[0] - y) + abs(p[1] - x) > 2 for x, y in pts)]
+            for i, (y, x) in enumerate(inj):
+                v = int(img[y, x])
+                if i % 2:
+                    img[y, x] = int(rng.integers(0, max(1, black - 96)))
+                else:
+                    img[y, x] = min(16383, black + 8 * max(1, v - black))
+
+    path = os.path.join(c.workdir, f"CH{it}.MLV")
+    synth.write_mlv(path, spec, frame_data=img[None])
+    with MLVClip(path) as clip:
+        fh = clip.frame_headers(0)
+    base_name = f"CH{it}"
+
+    with oracle.capture_c_stdout():  # the C dumps detected bad pixels (cs.c:307)
+        ref_img, ref_header, ref_dual, ref_gains, ref_needed = oracle.process_frame(
+            fh, img, deflicker=flags["deflicker"], fps=0.0, basename=base_name,
+            pattern=flags["pattern"], dual_iso=flags["dual_iso"],
+            chroma=flags["chroma"], bad_pix=flags["bad_pix"],
+            stripes=flags["stripes"], cwd=c.workdir,
+        )
+    # ref_dual may legitimately be False on dual content: pattern noise runs
+    # BEFORE dual-ISO in the chain (main.c:946-959) and can break the
+    # preview detection. The parity contract is that we match the
+    # reference's per-frame decision — verified below by the header compare
+    # (x4 levels present or not) and the payload contract that applies.
+
+    cfg = ProcessingConfig(
+        deflicker=flags["deflicker"], fix_pattern_noise=bool(flags["pattern"]),
+        dual_iso=flags["dual_iso"], chroma_smooth=flags["chroma"],
+        fix_bad_pixels=flags["bad_pix"], fix_stripes=bool(flags["stripes"]),
+        focus_pixel_dir=c.workdir, batch_size=1, use_sidecar_idx=False,
+    )
+    outdir = os.path.join(c.workdir, f"chain{it}")
+    dng, cal = _chain_convert(path, cfg, outdir)
+
+    if flags["bad_pix"] and cal.bad_pixel_list is not None:
+        bl = [(int(p[0]), int(p[1])) for p in cal.bad_pixel_list]
+        for i in range(len(bl)):
+            for j in range(i + 1, len(bl)):
+                if abs(bl[i][0] - bl[j][0]) < 4 and abs(bl[i][1] - bl[j][1]) < 4:
+                    return  # interacting detections: outside the parity contract
+
+    if flags["stripes"]:
+        if not ref_dual:  # converted inputs differ at PSNR level: skip gains check
+            if bool(cal.stripes_needed) != ref_needed:
+                raise AssertionError(
+                    f"stripes needed {cal.stripes_needed} != ref {ref_needed} ({flags})"
+                )
+            if ref_needed:
+                np.testing.assert_allclose(
+                    np.asarray(cal.stripes_gains), ref_gains, atol=16,
+                    err_msg=f"stripe gains ({flags})",
+                )
+        # pin the reference's dithered gains for the byte compare
+        dng, _ = _chain_convert(
+            path, cfg, os.path.join(c.workdir, f"chain{it}b"),
+            inject=(ref_gains, ref_needed),
+        )
+
+    header, payload = dng[:65536], np.frombuffer(dng[65536:], "<u2").reshape(h, w)
+    if header != ref_header:
+        diff = [i for i in range(65536) if header[i] != ref_header[i]][:12]
+        raise AssertionError(f"header differs at {diff} ({flags})")
+    if not ref_dual:  # no conversion ran: the whole chain is deterministic
+        np.testing.assert_array_equal(payload, ref_img, err_msg=f"payload ({flags})")
+    else:
+        mismatched = (ref_img != payload).mean()
+        assert mismatched < 0.02, f"{mismatched:.4f} of pixels differ ({flags})"
+        mse = np.mean((ref_img.astype(np.float64) - payload.astype(np.float64)) ** 2)
+        psnr = np.inf if mse == 0 else 10 * np.log10(65535.0**2 / mse)
+        assert psnr > 60, f"PSNR {psnr:.1f} dB ({flags})"
+
+
 OPS = {
     "dng": op_dng,
     "unpack": op_unpack,
@@ -544,6 +780,8 @@ OPS = {
     "gif": op_gif,
     "lj92": op_lj92,
     "preview": op_preview,
+    "chain": op_chain,
+    "cr2hdr": op_cr2hdr,
 }
 
 
