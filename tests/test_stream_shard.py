@@ -138,3 +138,71 @@ def test_sharded_dualiso_analysis_matches_unsharded():
     assert np.asarray(ref[0]).any(), "analysis rejected every synthetic dual-ISO frame"
     for r, g in zip(ref, got):
         np.testing.assert_array_equal(np.asarray(r), np.asarray(g))
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_amaze_edge_matches_unsharded():
+    """The flagship amaze-edge reconstruction (interp_method=0, the XLA
+    amaze_core formulation on this backend) sharded over an 8-device frame
+    mesh is bit-identical to the single-device run (VERDICT r4 task 4).
+    Small geometry keeps the two amaze compiles bounded."""
+    import math
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from mlvfs_tpu.ops import dualiso_full as dif
+    from mlvfs_tpu.ops.luts import EV_RESOLUTION
+    from mlvfs_tpu.parallel.mesh import make_mesh, FRAME_AXIS
+
+    b, h, w = 16, 64, 256
+    black, white = 2048, 10000
+    black20, white20 = black * 64, white * 64
+    yy, xx = np.arange(h)[:, None], np.arange(w)[None, :]
+    tex = (xx * 37 + yy * 11) % 700
+    scene = np.where((yy % 4) < 2, black + tex * 8, black + tex).astype(np.uint16)
+    imgs = np.broadcast_to(scene, (b, h, w)).copy()
+
+    white_ev = int(round(math.log2(white - black) * EV_RESOLUTION))
+    dummies = (
+        jax.numpy.zeros(1, jax.numpy.int32),
+        jax.numpy.zeros(10 * 32768 + 1, jax.numpy.int32),
+        jax.numpy.zeros(1, jax.numpy.float32),
+    )
+
+    def run(dev_imgs, shard=None):
+        kw = {}
+        if shard is not None:
+            kw = dict(in_shardings=(shard,), out_shardings=shard)
+        is_hdr = jax.jit(lambda x: dif.hdr_check_batch(x, black, white), **kw)(dev_imgs)
+        if shard is not None:
+            kw = dict(in_shardings=(shard, shard), out_shardings=shard)
+        ana = jax.jit(lambda x, ih: dif._analyze_batch(x, ih, 0, h, black), **kw)
+        ok, rb, s_arr, a_arr, b20_arr, wd_arr, ce_arr, ov_arr, _w20 = ana(
+            dev_imgs, is_hdr
+        )
+        assert bool(jax.numpy.any(ok)), "analysis rejected every synthetic frame"
+        per_frame = (a_arr, b20_arr, wd_arr, ce_arr, ov_arr)
+
+        def hdr_step(imgs, rb, s_arr, scalars, dummies):
+            return dif.reconstruct_batch(
+                imgs, rb, s_arr, *scalars, *dummies,
+                black20=black20, white20=white20, interp_method=0,
+                use_fullres=True, use_alias=True, cs_method=0,
+                exact_luts=False, white_ev=white_ev,
+            )
+
+        if shard is not None:
+            repl = NamedSharding(shard.mesh, P())
+            scalar_sh = jax.tree.map(lambda _: shard, per_frame)
+            kw = dict(
+                in_shardings=(shard, shard, shard, scalar_sh, (repl, repl, repl)),
+                out_shardings=shard,
+            )
+        hdr = jax.jit(hdr_step, **kw)
+        return np.asarray(hdr(dev_imgs, rb, s_arr, per_frame, dummies))
+
+    ref = run(jax.numpy.asarray(imgs))
+    mesh = make_mesh(8)
+    shard = NamedSharding(mesh, P(FRAME_AXIS))
+    got = run(jax.device_put(imgs, shard), shard=shard)
+    np.testing.assert_array_equal(ref, got)
