@@ -223,6 +223,35 @@ class ClipConverter:
             views = list(views) + [views[-1]] * (self._batch_target - len(views))
         return jnp.stack([jax.device_put(v) for v in views])
 
+    def _put_views_sharded(self, views):
+        """Zero-copy gather for the sharded path (--devices>1).
+
+        jax.make_array_from_single_device_arrays assembles a global sharded
+        array from one committed array per device; each device's shard is
+        the on-device stack of its frames' memmap views, transferred
+        view-by-view (the transfer engine reads the page cache directly).
+        This removes the staged host batch copy the sharded path re-paid
+        after r4 made the unsharded path zero-copy (the ~0.6 ms/frame
+        _gather_packed_batch cost; the reference instead pays a per-pixel
+        unpack copy on every FUSE read, main.c:1410-1576). Shard slices come
+        from the sharding's own device→index map, so the frame→device
+        placement is exactly what jax.device_put(batch, sharding) would
+        produce — sharded output stays bit-identical to the staged path
+        (tests/test_stream_shard.py gates this on the 8-device CPU mesh).
+        Measured host-leg cost vs the staged copy:
+        tools/profile_sharded_gather.py."""
+        if len(views) < self._batch_target:
+            views = list(views) + [views[-1]] * (self._batch_target - len(views))
+        global_shape = (len(views),) + views[0].shape
+        idx_map = self._sharding.addressable_devices_indices_map(global_shape)
+        shards = []
+        for dev, idx in idx_map.items():
+            chunk = views[idx[0]]  # idx[0] is the batch-dim slice
+            shards.append(jnp.stack([jax.device_put(v, dev) for v in chunk]))
+        return jax.make_array_from_single_device_arrays(
+            global_shape, self._sharding, shards
+        )
+
     def _gather_packed_batch(self, indices):
         """Stack packed word streams for a batch of frames (uncompressed clips).
 
@@ -292,10 +321,10 @@ class ClipConverter:
         Runs on the prefetch thread (stream.BatchPrefetcher)."""
         comp = self.fh0.compression
         if comp == "none":
+            views = self._gather_packed_views(indices)
             if self._sharding is None:
-                return self._put_views(self._gather_packed_views(indices))
-            # sharded: device_put wants one host array + a NamedSharding
-            return self._put(self._gather_packed_batch(indices))
+                return self._put_views(views)
+            return self._put_views_sharded(views)
         if comp == "lzma":
             return self._put(self._lzma_batch_host(indices))
         if comp == "lj92":

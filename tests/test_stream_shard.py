@@ -206,3 +206,29 @@ def test_sharded_amaze_edge_matches_unsharded():
     shard = NamedSharding(mesh, P(FRAME_AXIS))
     got = run(jax.device_put(imgs, shard), shard=shard)
     np.testing.assert_array_equal(ref, got)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_zero_copy_fetch_matches_staged(tmp_path):
+    """The zero-copy sharded gather (_put_views_sharded, per-device memmap
+    view transfers assembled via make_array_from_single_device_arrays) must
+    land the same bytes on the same shards as the staged path
+    (jax.device_put of one host array under the NamedSharding) it replaced."""
+    from mlvfs_tpu.format.reader import MLVClip
+    from mlvfs_tpu.pipeline.convert import ClipConverter
+
+    src = str(tmp_path / "ZC.MLV")
+    synth.write_mlv(src, width=256, height=64, frames=11)
+    eng = ClipConverter(MLVClip(src), ProcessingConfig(batch_size=8, shard_devices=8))
+    for indices in ([0, 1, 2, 3, 4, 5, 6, 7], [8, 9, 10]):  # full + padded tail
+        zc = eng._put_views_sharded(eng._gather_packed_views(indices))
+        staged = eng._put(eng._gather_packed_batch(indices))
+        assert zc.sharding.is_equivalent_to(staged.sharding, zc.ndim)
+        np.testing.assert_array_equal(np.asarray(zc), np.asarray(staged))
+        # per-shard placement identical, not just the global view
+        for sa, sb in zip(
+            sorted(zc.addressable_shards, key=lambda s: s.device.id),
+            sorted(staged.addressable_shards, key=lambda s: s.device.id),
+        ):
+            assert sa.index == sb.index
+            np.testing.assert_array_equal(np.asarray(sa.data), np.asarray(sb.data))
