@@ -259,7 +259,18 @@ class MLVFSMount:
             try:
                 return fn(*args)
             except Exception as exc:  # noqa: BLE001
-                return self._errno_of(exc)
+                rc = self._errno_of(exc)
+                if rc == -errno.EIO:
+                    # real failures (not path/permission semantics): say why
+                    # before the errno swallows the traceback — the reference
+                    # logs these too (TRY_WRAP's err_printf, main.c:103-123)
+                    from .utils import log
+
+                    log.error(
+                        "%s failed: %r", getattr(fn, "__name__", fn), exc,
+                        exc_info=True,
+                    )
+                return rc
 
         return call
 

@@ -7,7 +7,14 @@ dispatch counters but no wall-clock number. This harness mounts a
 reads every DNG sequentially, and prints f/s plus the daemon's
 /.mlvfs-stats counters.
 
-Run:  python tools/profile_mount_1080p.py [frames=32] [readahead=16]
+Run:  python tools/profile_mount_1080p.py [frames=32] [readahead=16] [cpu|tpu]
+
+The third arg picks the daemon's JAX backend. Default cpu: on this rig
+the TPU sits behind a relay tunnel (~35 MB/s), so a TPU-backed mount is
+transfer-bound on the ~4.2 MB/frame readback — the r5 measurement is
+recorded in README's mount row as the relay-caveat number, not a TPU
+ceiling. On a co-located TPU host the same path rides the PCIe DMA the
+engine bench measures.
 """
 
 import json
@@ -21,13 +28,28 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def _mount_proc(mlv_dir, mnt, readahead):
-    env = {
-        k: v for k, v in os.environ.items()
-        if not (k.startswith(("AXON_", "PALLAS_AXON", "TPU_"))
-                or k in ("PYTHONPATH", "MLVFS_TPU_TEST_ON_TPU"))
-    }
-    env["JAX_PLATFORMS"] = "cpu"
+def _mount_proc(mlv_dir, mnt, readahead, backend="cpu"):
+    if backend == "tpu":
+        # keep the relay env; PREPEND the repo to PYTHONPATH (the existing
+        # entries register the TPU relay's jax plugin — replacing them
+        # leaves the daemon's jax with no 'axon' backend)
+        env = {k: v for k, v in os.environ.items()
+               if k != "MLVFS_TPU_TEST_ON_TPU"}
+        env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+        env["MLVFS_TPU_READAHEAD"] = str(readahead)
+        return subprocess.Popen(
+            [sys.executable, "-m", "mlvfs_tpu.mount", mnt,
+             f"--mlv-dir={mlv_dir}", "--no-gui"],
+            env=env, cwd=REPO,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+    else:
+        env = {
+            k: v for k, v in os.environ.items()
+            if not (k.startswith(("AXON_", "PALLAS_AXON", "TPU_"))
+                    or k in ("PYTHONPATH", "MLVFS_TPU_TEST_ON_TPU"))
+        }
+        env["JAX_PLATFORMS"] = "cpu"
     env["MLVFS_TPU_READAHEAD"] = str(readahead)
     env["PYTHONPATH"] = REPO
     return subprocess.Popen(
@@ -55,6 +77,7 @@ def _wait_mounted(mnt, proc, timeout=120.0):
 def main():
     frames = int(sys.argv[1]) if len(sys.argv) > 1 else 32
     readahead = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+    backend = sys.argv[3] if len(sys.argv) > 3 else "cpu"
 
     from mlvfs_tpu.format import synth
     from mlvfs_tpu.mount import fuse_available
@@ -70,7 +93,7 @@ def main():
                         width=1920, height=1080, frames=frames)
         mnt = os.path.join(tmp, "mnt")
         os.mkdir(mnt)
-        proc = _mount_proc(clips, mnt, readahead)
+        proc = _mount_proc(clips, mnt, readahead, backend)
         if not _wait_mounted(mnt, proc):
             proc.kill()
             print("mount failed")
@@ -88,7 +111,8 @@ def main():
             dt = time.perf_counter() - t0
             with open(os.path.join(mnt, ".mlvfs-stats")) as f:
                 stats = json.loads(f.read())
-            print(f"geometry 1920x1080 14bpp, {frames} frames, readahead {readahead}")
+            print(f"geometry 1920x1080 14bpp, {frames} frames, "
+                  f"readahead {readahead}, backend {backend}")
             print(f"sequential read: {frames / dt:.1f} f/s "
                   f"({total / dt / 1e6:.0f} MB/s virtual DNG), {dt:.2f} s")
             print(f"stats: {stats}")
