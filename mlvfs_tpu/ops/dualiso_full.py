@@ -533,22 +533,47 @@ def cr2hdr20_batch(imgs, fh, cfg, cal):
 
     is_hdr_dev = hdr_check_batch(imgs, black, white14)  # pulled later
 
-    # focus + optional bad pixels, horizontal mode (cr2hdr20, hdr.c:1942-1948)
+    # focus + optional bad pixels, horizontal mode — gated PER FRAME on
+    # hdr_check like the reference: cr2hdr20_convert_data only reaches the
+    # fixes inside `if (hdr_check(...))` (hdr.c:1942-1948), so a frame that
+    # fails hdr_check must leave here untouched (it then takes the
+    # else-branch normal-mode fixes, main.c:966-973). A frame that passes
+    # hdr_check but fails the later analysis KEEPS these dual-mode fixes —
+    # the reference mutates image_data in place before returning 0, and the
+    # else-branch then stacks normal-mode fixes on top; the per-frame
+    # select below reproduces both cases.
     from . import pixels as pixel_ops
 
     crop_x = (int(fh.vidf["panPosX"]) + 7) & ~7
     crop_y = int(fh.vidf["panPosY"]) & ~1
+    fixed = imgs
     if cal is not None and cal.focus_pixel_list is not None and len(cal.focus_pixel_list):
-        imgs = pixel_ops.fix_pixel_list_batch(
-            imgs, cal.focus_pixel_list, black, crop_x, crop_y, dual_iso=True
+        fixed = pixel_ops.fix_pixel_list_batch(
+            fixed, cal.focus_pixel_list, black, crop_x, crop_y, dual_iso=True
         )
     if cfg.fix_bad_pixels:
-        first = np.asarray(imgs[0])
-        bp = pixel_ops.detect_bad_pixels(
-            first, w, h, black, aggressive=(cfg.fix_bad_pixels == 2), crop_x=crop_x, crop_y=crop_y
-        )
-        if len(bp):
-            imgs = pixel_ops.fix_pixel_list_batch(imgs, bp, black, crop_x, crop_y, dual_iso=True)
+        # ONE map per clip, like the reference's per-(GUID, aggressive)
+        # cache (cs.c:233-312): detected from the first frame that reaches
+        # fix_bad_pixels. In full mode that is frame 0 — through this dual
+        # path when hdr_check(frame 0) passes, else through the
+        # else-branch (run_pipeline detects it there from the normal-mode
+        # focus-fixed frame 0). Cached in cal so later batches skip the
+        # per-batch host pull AND match the reference's whole-clip map.
+        bp = None
+        if cal is not None and cal.bad_pixels_done:
+            bp = cal.bad_pixel_list
+        elif bool(np.asarray(is_hdr_dev[0])):
+            bp = pixel_ops.detect_bad_pixels(
+                np.asarray(fixed[0]), w, h, black,
+                aggressive=(cfg.fix_bad_pixels == 2), crop_x=crop_x, crop_y=crop_y,
+            )
+            if cal is not None:
+                cal.bad_pixel_list = bp
+                cal.bad_pixels_done = True
+        if bp is not None and len(bp):
+            fixed = pixel_ops.fix_pixel_list_batch(fixed, bp, black, crop_x, crop_y, dual_iso=True)
+    if fixed is not imgs:
+        imgs = jnp.where(is_hdr_dev[:, None, None], fixed, imgs)
 
     exact = bool(getattr(cfg, "exact_luts", False))
 

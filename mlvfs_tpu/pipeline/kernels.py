@@ -146,7 +146,10 @@ def run_pipeline(imgs, fh, cfg: ProcessingConfig, cal: ClipCalibration, info: di
         else:
             # mixed batch: the reference smooths each frame under that
             # frame's (possibly x4) black level (main.c:975-978 runs on the
-            # per-frame mutated header) — smooth under both, pick per frame
+            # per-frame mutated header) — smooth under both, pick per frame.
+            # (Two full-batch passes; mixed batches only occur on detection
+            # failures, so the static-shape double pass beats compiling a
+            # second gather/scatter program for the minority subset.)
             hi = cs_ops.chroma_smooth_batch(imgs, m, black * 4)
             lo = cs_ops.chroma_smooth_batch(imgs, m, black)
             imgs = jnp.where(jnp.asarray(okv)[:, None, None], hi, lo)
@@ -160,7 +163,8 @@ def run_pipeline(imgs, fh, cfg: ProcessingConfig, cal: ClipCalibration, info: di
             return (black * 4, white * 4) if o else (black, white)
 
         if not cal.stripes_done:
-            if cfg.stripes_batch_cal:
+            mixed = okv is not None and bool(okv.any()) and not bool(okv.all())
+            if cfg.stripes_batch_cal and not mixed:
                 # whole-first-batch device calibration: per-offset medians
                 # via bisection whose counts all-reduce over the (sharded)
                 # frame axis (ops/stripes.calibrate_batch_device)
@@ -169,6 +173,13 @@ def run_pipeline(imgs, fh, cfg: ProcessingConfig, cal: ClipCalibration, info: di
                 )
                 gains, needed = np.asarray(g_dev), bool(needed_dev)
             else:
+                # (also the mixed-first-batch fallback: the batch device
+                # calibration prices every frame at one (black, white)
+                # pair, and a batch mixing converted x4 frames with
+                # undetected 14-bit ones has no single correct pair —
+                # frames at the wrong level would feed garbage samples
+                # into the per-offset medians. The reference calibrates
+                # from frame 0 under that frame's own levels.)
                 # gains from the first processed frame only (stripes.c:97-99)
                 b0, w0 = _lv(bool(okv[0])) if okv is not None else (
                     info["black_level"], info["white_level"])

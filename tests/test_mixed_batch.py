@@ -28,11 +28,11 @@ CAMERA = 0x99880011  # fresh (camera, crop) key: the reference's focus-map
 #                      cache is static first-load-wins (cs.c:421)
 
 
-def _mixed_clip(tmp_path):
+def _mixed_clip(tmp_path, guid=0x5151AA00BB77CC01):
     rng = np.random.default_rng(2024)
     spec_d = synth.SynthSpec(
         width=W, height=H, frames=2, seed=7, dual_iso=3, dual_iso_phase=0,
-        camera_model=CAMERA, guid=0x5151AA00BB77CC01,
+        camera_model=CAMERA, guid=guid,
     )
     img_dual = synth.make_frame_data(spec_d, np.random.default_rng(spec_d.seed))
     spec_n = synth.SynthSpec(width=W, height=H, frames=2, seed=8, camera_model=CAMERA)
@@ -98,6 +98,92 @@ def test_mixed_preview_batch_matches_per_frame_reference(tmp_path):
     # widths; gates mirror tests/test_parity_dualiso_preview.py)
     assert (ref0 != out[0]).mean() < 0.02
     assert _psnr(ref0, out[0]) > 60
+
+
+def test_mixed_full_batch_matches_per_frame_reference(tmp_path):
+    """dual_iso=2 (cr2hdr20) mixed batch vs per-frame reference processing.
+
+    Two contracts the batch path must keep (both from the composed chain,
+    main.c:951-973 + hdr.c:1932-1956):
+    - a frame failing hdr_check leaves cr2hdr20 UNTOUCHED (the dual-mode
+      focus/bad fixes sit inside `if (hdr_check(...))`), then takes the
+      normal-mode else-branch — byte parity required;
+    - ONE bad-pixel map per clip, detected from the first frame that
+      reaches fix_bad_pixels (cs.c:233-312): here frame 0 through the dual
+      path. The planted bad pixels live in frame 1 only, so the per-clip
+      map (from clean frame 0) must NOT fix them — detecting from frame 1
+      (the pre-r5 behavior) fixes them and diverges.
+    """
+    # fresh GUID: the oracle's per-(GUID, aggressive) map cache is static
+    # per process, and this test's contract IS that cache's provenance
+    path, img_dual, img_norm, spec = _mixed_clip(tmp_path, guid=0x5151AA00BB77CC02)
+    cfg = ProcessingConfig(
+        dual_iso=2, hdr_interpolation_method=1, fix_bad_pixels=1,
+        focus_pixel_dir=str(tmp_path), batch_size=2,
+    )
+    with MLVClip(path) as clip:
+        fh0 = clip.frame_headers(0)
+        fh1 = clip.frame_headers(1)
+
+    # reference, frame by frame through the composed chain — in frame
+    # order, so the per-GUID map comes from frame 0 (dual path)
+    ref0, _, is_dual0, _, _ = oracle.process_frame(
+        fh0, img_dual, dual_iso=2, interp=1, bad_pix=1, cwd=str(tmp_path)
+    )
+    assert is_dual0, "reference must convert the dual-ISO frame"
+    ref1, _, is_dual1, _, _ = oracle.process_frame(
+        fh1, img_norm, dual_iso=2, interp=1, bad_pix=1, cwd=str(tmp_path)
+    )
+    assert not is_dual1, "reference must reject the normal frame"
+    # the frame-0 map must be empty-ish: frame 1's planted pixels survive
+    assert ref1[101, 203] == img_norm[101, 203]
+
+    cal = kernels.calibrate_clip(fh0, cfg)
+    info = {"black_level": spec.black, "white_level": spec.white, "exposure_bias": None}
+    imgs = jnp.asarray(np.stack([img_dual, img_norm]))
+    out, info = kernels.run_pipeline(imgs, fh0, cfg, cal, info)
+    out = np.asarray(out)
+
+    assert info["levels"][0] == (spec.black * 4, spec.white * 4)
+    assert info["levels"][1] == (spec.black, spec.white)
+
+    # undetected frame: byte parity (untouched by cr2hdr20, else-branch
+    # fixes only, shared per-clip map)
+    np.testing.assert_array_equal(out[1], ref1)
+
+    # converted frame: the full-path PSNR contract (mean23 gate mirrors
+    # tests/test_parity_dualiso_full.py)
+    assert _psnr(ref0, out[0]) > 55
+
+
+def test_mixed_batch_stripes_batch_cal_falls_back_to_frame0(tmp_path):
+    """--stripes-batch-cal on a mixed first batch falls back to frame-0
+    calibration: the device batch calibration prices every frame at one
+    (black, white) pair, which a batch mixing x4-converted and 14-bit
+    frames does not have — the fallback must produce exactly the
+    reference's frame-0 gains (stripes.c:97-99)."""
+    path, img_dual, img_norm, spec = _mixed_clip(tmp_path, guid=0x5151AA00BB77CC03)
+    with MLVClip(path) as clip:
+        fh0 = clip.frame_headers(0)
+    outs, cals = [], []
+    for batch_cal in (False, True):
+        cfg = ProcessingConfig(
+            dual_iso=1, fix_stripes=True, stripes_batch_cal=batch_cal,
+            focus_pixel_dir=str(tmp_path), batch_size=2,
+        )
+        cal = kernels.calibrate_clip(fh0, cfg)
+        info = {"black_level": spec.black, "white_level": spec.white,
+                "exposure_bias": None}
+        out, _ = kernels.run_pipeline(
+            jnp.asarray(np.stack([img_dual, img_norm])), fh0, cfg, cal, info
+        )
+        outs.append(np.asarray(out))
+        cals.append(cal)
+    assert cals[0].stripes_needed == cals[1].stripes_needed
+    np.testing.assert_array_equal(
+        np.asarray(cals[0].stripes_gains), np.asarray(cals[1].stripes_gains)
+    )
+    np.testing.assert_array_equal(outs[0], outs[1])
 
 
 def test_mixed_batch_chroma_and_stripes_levels(tmp_path):
